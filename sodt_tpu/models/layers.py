@@ -1,0 +1,480 @@
+"""YOLO-family CNN building blocks as flax.linen modules, NHWC, TPU-native.
+
+Functional re-design of the module vocabulary in
+/root/reference/basics/models/common.py (Conv/Bottleneck/C3/SPP/Focus/MF/SE
+and friends) and experimental.py (CrossConv/GhostConv/MixConv2d): same
+computation graphs and channel arithmetic, expressed as flax modules with
+
+  * NHWC layout (TPU conv-friendly; the reference is NCHW),
+  * a `dtype` knob for bf16 MXU compute with f32 params,
+  * BatchNorm carried in flax `batch_stats` collections with the YOLOv5
+    eps/momentum convention (eps 1e-3, torch momentum 0.03 -> flax 0.97;
+    reference torch_utils.initialize_weights),
+  * cross-replica BN for free: under jit + NamedSharding data parallelism
+    the batch mean/var reductions are global (XLA inserts the collectives),
+    which subsumes both reference SyncBN paths (Train.py:207-209 and the
+    vendored sync_batchnorm/).
+
+All spatial shapes stay static under jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+DType = Any
+
+
+def autopad(k: int, p: int | None = None) -> int:
+    """'same' padding for odd kernels (reference common.py:26-30)."""
+    return k // 2 if p is None else p
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def leaky_relu_01(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+def mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+class ConvBnAct(nn.Module):
+    """Conv2d + BatchNorm + activation — the reference `Conv` (common.py:38-52).
+
+    NHWC; bias-free conv; act defaults to SiLU. Set `act=None` for identity.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    act: Callable | None = silu
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = autopad(self.k, self.p)
+        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    padding=[(pad, pad), (pad, pad)], feature_group_count=self.g,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return self.act(x) if self.act is not None else x
+
+
+def DWConvBnAct(c2: int, k: int = 1, s: int = 1, c1: int | None = None,
+                dtype: DType = jnp.float32) -> ConvBnAct:
+    """Depthwise conv block (reference common.py:33-35)."""
+    g = math.gcd(c1, c2) if c1 else c2
+    return ConvBnAct(c2=c2, k=k, s=s, g=g, dtype=dtype)
+
+
+class Bottleneck(nn.Module):
+    """Standard residual bottleneck (common.py:55-65)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBnAct(self.c2, 3, 1, g=self.g, dtype=self.dtype,
+                      name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (common.py:114-127)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv2")(x, train)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        return ConvBnAct(self.c2, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class BottleneckCSP(nn.Module):
+    """CSP bottleneck, v4-style (common.py:78-94)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train)
+        y1 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="cv3")(y1)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        y = leaky_relu_01(y)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv4")(y, train)
+
+
+class BottleneckCSP2(nn.Module):
+    """CSP2 variant (common.py:96-112)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2)
+        x1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        y1 = x1
+        for i in range(self.n):
+            y1 = Bottleneck(c_, self.shortcut, self.g, e=1.0,
+                            dtype=self.dtype, name=f"m{i}")(y1, train)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="cv2")(x1)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        y = leaky_relu_01(y)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv3")(y, train)
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling (common.py:129-140)."""
+
+    c2: int
+    k: Sequence[int] = (5, 9, 13)
+    c1: int | None = None
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c1 = self.c1 or x.shape[-1]
+        c_ = c1 // 2
+        x = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [x]
+        for k in self.k:
+            pools.append(nn.max_pool(x, (k, k), strides=(1, 1),
+                                     padding=[(k // 2, k // 2)] * 2))
+        y = jnp.concatenate(pools, axis=-1)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv2")(y, train)
+
+
+class SPPCSP(nn.Module):
+    """CSP-wrapped SPP (common.py:142-162)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    k: Sequence[int] = (5, 9, 13)
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(2 * self.c2 * self.e)
+        x1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        x1 = ConvBnAct(c_, 3, 1, dtype=self.dtype, name="cv3")(x1, train)
+        x1 = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv4")(x1, train)
+        pools = [x1]
+        for k in self.k:
+            pools.append(nn.max_pool(x1, (k, k), strides=(1, 1),
+                                     padding=[(k // 2, k // 2)] * 2))
+        y1 = ConvBnAct(c_, 1, 1, dtype=self.dtype,
+                       name="cv5")(jnp.concatenate(pools, -1), train)
+        y1 = ConvBnAct(c_, 3, 1, dtype=self.dtype, name="cv6")(y1, train)
+        y2 = nn.Conv(c_, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="cv2")(x)
+        y = jnp.concatenate([y1, y2], axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        y = mish(y)
+        return ConvBnAct(self.c2, 1, 1, dtype=self.dtype, name="cv7")(y, train)
+
+
+class Focus(nn.Module):
+    """Space-to-depth stem (common.py:67-76): 2x2 pixel-unshuffle then Conv."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: int | None = None
+    g: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # NHWC slice-concat matching torch channel order
+        patches = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :],
+             x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]], axis=-1)
+        return ConvBnAct(self.c2, self.k, self.s, self.p, self.g,
+                         dtype=self.dtype, name="conv")(patches, train)
+
+
+class Contract(nn.Module):
+    """Fold 2x2 space into channels (common.py:247-258)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(n, h // s, s, w // s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, h // s, w // s, c * s * s)
+
+
+class Expand(nn.Module):
+    """Unfold channels into 2x2 space (common.py:261-272)."""
+
+    gain: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        s = self.gain
+        x = x.reshape(n, h, w, s, s, c // (s * s))
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(n, h * s, w * s, c // (s * s))
+
+
+class Upsample(nn.Module):
+    """Nearest / bilinear upsample (the reference uses nn.Upsample in YAML)."""
+
+    scale: int = 2
+    method: str = "nearest"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, h, w, c = x.shape
+        if self.method == "nearest":
+            x = jnp.repeat(jnp.repeat(x, self.scale, axis=1), self.scale, axis=2)
+            return x
+        return jax.image.resize(x, (n, h * self.scale, w * self.scale, c),
+                                method=self.method)
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation (common.py:165-180)."""
+
+    reduction: int = 16
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))  # global average pool
+        y = nn.Dense(c // self.reduction, use_bias=False, dtype=self.dtype,
+                     name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class MF(nn.Module):
+    """SuperYOLO multimodal (RGB+IR) fusion block (common.py:183-212).
+
+    Input: tuple/list (rgb NHW3, ir NHW1); output NHW64 fused feature.
+    """
+
+    channels: int = 3
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        rgb_ori, ir_ori = x[0], x[1]
+        rgb = SEBlock(reduction=self.channels, dtype=self.dtype,
+                      name="se_r")(rgb_ori, train)
+        ir = SEBlock(reduction=1, dtype=self.dtype, name="se_i")(ir_ori, train)
+
+        mask_r = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="mask_map_r")(rgb)
+        mask_i = nn.Conv(1, (1, 1), use_bias=True, dtype=self.dtype,
+                         name="mask_map_i")(ir)
+        masked_rgb = jnp.repeat(mask_r, 3, axis=-1) * rgb
+        masked_ir = mask_i * ir
+
+        out_ir = nn.Conv(16, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                         dtype=self.dtype, name="bottleneck1")(masked_ir + ir_ori)
+        out_rgb = nn.Conv(48, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                          dtype=self.dtype, name="bottleneck2")(masked_rgb + rgb_ori)
+        out = jnp.concatenate([out_rgb, out_ir], axis=-1)
+        return SEBlock(reduction=16, dtype=self.dtype, name="se")(out, train)
+
+
+class CrossConv(nn.Module):
+    """1xk then kx1 cross convolution (experimental.py:11-25)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    e: float = 1.0
+    shortcut: bool = False
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
+        # (1,k) then (k,1) conv
+        pad_k = autopad(self.k)
+        y = nn.Conv(c_, (1, self.k), strides=(1, self.s),
+                    padding=[(0, 0), (pad_k, pad_k)], use_bias=False,
+                    dtype=self.dtype, name="cv2a")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn_a")(y)
+        y = silu(y)
+        y = nn.Conv(self.c2, (self.k, 1), strides=(self.s, 1),
+                    padding=[(pad_k, pad_k), (0, 0)],
+                    feature_group_count=self.g, use_bias=False,
+                    dtype=self.dtype, name="cv2b")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn_b")(y)
+        y = silu(y)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (experimental.py:61-71)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBnAct(c_, self.k, self.s, dtype=self.dtype, name="cv1")(x, train)
+        y2 = ConvBnAct(c_, 5, 1, g=c_, dtype=self.dtype, name="cv2")(y, train)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck (experimental.py:74-85)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="g1")(x, train)
+        if self.s == 2:
+            y = DWConvBnAct(c_, self.k, self.s, c1=c_,
+                            dtype=self.dtype)(y, train)
+        y = GhostConv(self.c2, 1, 1, dtype=self.dtype, name="g2")(y, train)
+        if self.s == 1 and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class MixConv2d(nn.Module):
+    """Mixed-kernel-size grouped conv (experimental.py:88-95)."""
+
+    c2: int
+    k: Sequence[int] = (1, 3)
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        groups = len(self.k)
+        # equal channel split per kernel size (reference equal_ch=True path)
+        splits = [self.c2 // groups] * groups
+        splits[0] += self.c2 - sum(splits)
+        outs = []
+        for i, (k, c) in enumerate(zip(self.k, splits)):
+            pad = k // 2
+            outs.append(nn.Conv(c, (k, k), strides=(self.s, self.s),
+                                padding=[(pad, pad)] * 2, use_bias=False,
+                                dtype=self.dtype, name=f"m{i}")(x))
+        y = jnp.concatenate(outs, axis=-1)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=self.dtype, name="bn")(y)
+        return leaky_relu_01(y)
+
+
+class AttentionModel(nn.Module):
+    """Sigmoid spatial attention residual (common.py:448-458)."""
+
+    c2: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        amap = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+                       dtype=self.dtype, name="conv")(x)
+        amap = jax.nn.sigmoid(amap)
+        return x + x * jnp.exp(amap)
+
+
+class ScaledDotProductAttentionOnly(nn.Module):
+    """Channel-token attention over flattened HW (common.py:214-244)."""
+
+    temperature: float = 1.0
+
+    @nn.compact
+    def __call__(self, qkv, train: bool = False):
+        v, k, q = qkv
+        b, h, w, c = q.shape
+        qf = q.reshape(b, h * w, c).transpose(0, 2, 1)  # (b, c, hw)
+        kf = k.reshape(b, h * w, c).transpose(0, 2, 1)
+        vf = v.reshape(b, h * w, c).transpose(0, 2, 1)
+        attn = jnp.einsum("bcn,bdn->bcd", qf / self.temperature, kf)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bcd,bdn->bcn", attn, vf)
+        return out.transpose(0, 2, 1).reshape(b, h, w, c)
+
+
+class Concat(nn.Module):
+    """Channel concat of a list of NHWC maps (common.py:275-282)."""
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        return jnp.concatenate(xs, axis=-1)

@@ -1,0 +1,244 @@
+"""Swin-style windowed attention blocks, TPU-first (static shapes, NHWC).
+
+Re-design of the transformer vocabulary in
+/root/reference/basics/models/backbone_vit.py:619-1148 — window
+partition/unpartition, W-MSA with learned relative-position bias,
+shifted-window masks, dual-mode MLP (linear vs conv-augmented), and
+PatchMerging — with the TPU in mind:
+
+  * all window partitioning is reshape/transpose on static shapes; XLA fuses
+    it into the surrounding ops (no gather),
+  * shift masks and relative-position indices are computed with numpy at
+    trace time and baked in as constants,
+  * attention runs in one batched einsum over (B * num_windows) so the MXU
+    sees a single large matmul per block,
+  * everything is resolution-static: one compile per input size.
+
+Parity notes vs the reference:
+  * `linear_mlp = (shift_size == 0)` — non-shifted blocks use the plain
+    fc-act-fc MLP; *shifted* blocks use the conv-augmented MLP
+    (2x2 conv on the (H, W) token grid, backbone_vit.py:863-908).
+  * mask value -100.0 (not -inf), LayerNorm eps 1e-5 (torch default).
+  * PatchMerging applies reduction Linear *then* LayerNorm
+    (backbone_vit.py:839-860).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+DType = Any
+
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def window_partition(x: jax.Array, ws: int) -> jax.Array:
+    """(B, H, W, C) -> (B*nW, ws*ws, C). H, W must be multiples of ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_unpartition(windows: jax.Array, ws: int, hw: tuple[int, int]) -> jax.Array:
+    """(B*nW, ws*ws, C) -> (B, H, W, C)."""
+    h, w = hw
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """SW-MSA additive mask (nW, ws*ws, ws*ws), values {0, -100}.
+
+    Computed statically (reference backbone_vit.py:1058-1081).
+    """
+    img_mask = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[hs, wsl] = cnt
+            cnt += 1
+    m = img_mask.reshape(h // ws, ws, w // ws, ws)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def relative_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) index into the (2ws-1)^2 bias table (backbone_vit.py:940-951)."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias (backbone_vit.py:913-992).
+
+    Input: (B_, N, C) window tokens; optional additive mask (nW, N, N).
+    """
+
+    dim: int
+    window_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: np.ndarray | None = None):
+        b_, n, c = x.shape
+        nh = self.num_heads
+        hd = c // nh
+        scale = hd ** -0.5
+
+        table = self.param(
+            "relative_position_bias_table", trunc02,
+            ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
+        rel_idx = relative_position_index(self.window_size).reshape(-1)
+        bias = table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh,N,N)
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn + bias[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, nh, n, n)
+            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+            attn = attn.reshape(b_, nh, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(self.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """Dual-mode MLP (backbone_vit.py:863-908).
+
+    linear=True: fc(hidden) -> GELU -> fc(out).
+    linear=False ("enhanced" conv branch): fc(dim->dim) -> 2x2 conv over the
+    (H, W) token grid with bottom/right pad -> GELU -> fc(out). Note the conv
+    path has no expansion: fc1 keeps the channel count (parity quirk).
+    """
+
+    hidden: int
+    out: int
+    linear: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]):
+        c_in = x.shape[-1]
+        if self.linear:
+            x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+            x = jax.nn.gelu(x, approximate=False)
+            return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        h, w = hw
+        b = x.shape[0]
+        x = nn.Dense(c_in, dtype=self.dtype, name="fc1")(x)
+        x = x.reshape(b, h, w, c_in)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x = nn.Conv(c_in, (2, 2), padding="VALID", use_bias=True,
+                    dtype=self.dtype, name="conv1")(x)
+        x = x.reshape(b, h * w, c_in)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class SwinBlock(nn.Module):
+    """Swin transformer block (backbone_vit.py:1011-1130), tokens (B, H*W, C)."""
+
+    dim: int
+    input_resolution: tuple[int, int]
+    num_heads: int
+    window_size: int = 7
+    shift_size: int = 0
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    linear_mlp: bool = True
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        h, w = self.input_resolution
+        ws, shift = self.window_size, self.shift_size
+        if min(h, w) <= ws:  # window covers the map: global attention
+            ws, shift = min(h, w), 0
+        assert 0 <= shift < ws
+
+        b, l, c = x.shape
+        assert l == h * w, (l, h, w)
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = x.reshape(b, h, w, c)
+        if shift > 0:
+            x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
+        xw = window_partition(x, ws)
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        xw = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                             dtype=self.dtype, name="attn")(xw, mask)
+        x = window_unpartition(xw, ws, (h, w))
+        if shift > 0:
+            x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        x = shortcut + x.reshape(b, l, c)
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+                linear=self.linear_mlp, dtype=self.dtype, name="mlp")(y, (h, w))
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2x2 space-to-depth + Linear(4C->2C) + LN (backbone_vit.py:823-860)."""
+
+    dim: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]):
+        h, w = hw
+        b, l, c = x.shape
+        assert l == h * w and h % 2 == 0 and w % 2 == 0
+        x = x.reshape(b, h, w, c)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
+        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
+                     name="reduction")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class PatchEmbed(nn.Module):
+    """Conv projection to BHWC tokens (backbone_vit.py:742-773)."""
+
+    embed_dim: int
+    kernel: tuple[int, int] = (16, 16)
+    stride: tuple[int, int] = (16, 16)
+    padding: tuple[int, int] = (1, 1)
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        p = self.padding
+        return nn.Conv(self.embed_dim, self.kernel, strides=self.stride,
+                       padding=[(p[0], p[0]), (p[1], p[1])], use_bias=True,
+                       dtype=self.dtype, name="proj")(x)
