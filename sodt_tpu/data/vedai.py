@@ -1,0 +1,140 @@
+"""VEDAI paired RGB+IR dataset: host-side decode, device-side everything else.
+
+Re-design of LoadImagesAndLabels_sr (/root/reference/basics/utils/
+datasets.py:667-944). The reference does all augmentation in cv2 on CPU
+workers; on this machine (1 host core feeding a TPU) that would starve the
+chip, so the host path is reduced to: read png pairs, decode to uint8,
+resize to the target square, and parse label txts — everything geometric /
+photometric happens batched on device (see augment.py).
+
+Path derivation parity (datasets.py:368-376, 684-685):
+  * fold txt lists RGB paths ending `_co.png`
+  * IR path:    .../x_co.png  -> .../x_ir.png
+  * label path: .../images/x_co.png -> .../labels/x.txt
+Label format: class cx cy w h (normalized), one object per line.
+Label caching: parsed labels are stored in a sibling `.labels.npz` keyed by
+(file count, total size) like the reference's hash-keyed .cache
+(datasets.py:40-42,762-807).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+try:
+    import cv2  # noqa: F401
+    _HAS_CV2 = True
+except Exception:
+    _HAS_CV2 = False
+from PIL import Image
+
+
+def derive_ir_path(p: str) -> str:
+    name = Path(p).name.replace("_co", "_ir")
+    return str(Path(p).parent / name)
+
+
+def derive_label_path(p: str) -> str:
+    sa, sb = os.sep + "images" + os.sep, os.sep + "labels" + os.sep
+    q = sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0]
+    if q.endswith("_co"):
+        q = q[: -len("_co")]
+    return q + ".txt"
+
+
+def _read_image(path: str) -> np.ndarray:
+    """Decode to uint8 HWC RGB (or HW1 for single-channel)."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise FileNotFoundError(path)
+        if img.ndim == 2:
+            return img[..., None]
+        return img[..., ::-1].copy()  # BGR -> RGB
+    img = np.asarray(Image.open(path))
+    if img.ndim == 2:
+        return img[..., None]
+    return img[..., :3]
+
+
+def _resize_longest(img: np.ndarray, size: int) -> np.ndarray:
+    """Resize so the longest side == size (reference load_image,
+    datasets.py:947-960)."""
+    h, w = img.shape[:2]
+    r = size / max(h, w)
+    if r == 1.0:
+        return img
+    if _HAS_CV2:
+        interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
+        return cv2.resize(img, (int(w * r), int(h * r)), interpolation=interp)
+    pil = Image.fromarray(img.squeeze() if img.shape[-1] == 1 else img)
+    pil = pil.resize((int(w * r), int(h * r)), Image.BILINEAR)
+    out = np.asarray(pil)
+    return out[..., None] if out.ndim == 2 else out
+
+
+class VedaiDataset:
+    """Index-addressable paired dataset: (rgb u8, ir u8, labels (n,5))."""
+
+    def __init__(self, list_file: str, img_size: int = 512,
+                 prefix: str | None = None):
+        self.img_size = img_size
+        root = Path(list_file).parent
+        with open(list_file) as f:
+            files = [ln.strip() for ln in f if ln.strip()]
+        if prefix:
+            files = [str(Path(prefix) / p) for p in files]
+        # resolve relative entries against the list file's directory
+        self.img_files = [
+            p if os.path.isabs(p) and os.path.exists(p)
+            else (p if os.path.exists(p) else str(root / Path(p).name))
+            for p in files
+        ]
+        self.ir_files = [derive_ir_path(p) for p in self.img_files]
+        self.label_files = [derive_label_path(p) for p in self.img_files]
+        self.labels = self._load_labels(list_file)
+
+    def _load_labels(self, list_file: str):
+        cache = Path(list_file).with_suffix(".labels.npz")
+        key = np.array([len(self.img_files),
+                        sum(os.path.getsize(p) for p in self.label_files
+                            if os.path.exists(p))])
+        if cache.exists():
+            data = np.load(cache, allow_pickle=True)
+            if np.array_equal(data["key"], key):
+                return list(data["labels"])
+        labels = []
+        for lf in self.label_files:
+            if os.path.exists(lf):
+                arr = np.loadtxt(lf, ndmin=2, dtype=np.float32)
+                if arr.size == 0:
+                    arr = np.zeros((0, 5), np.float32)
+                assert arr.shape[1] == 5, f"bad label shape in {lf}"
+                assert (arr[:, 1:] <= 1.00001).all(), \
+                    f"non-normalized label in {lf}"
+            else:
+                arr = np.zeros((0, 5), np.float32)
+            labels.append(arr)
+        try:
+            np.savez(cache, key=key,
+                     labels=np.asarray(labels, dtype=object))
+        except OSError:
+            pass
+        return labels
+
+    def __len__(self):
+        return len(self.img_files)
+
+    def __getitem__(self, i: int):
+        rgb = _resize_longest(_read_image(self.img_files[i]), self.img_size)
+        ir = _resize_longest(_read_image(self.ir_files[i]), self.img_size)
+        if ir.shape[-1] == 1:
+            ir = np.repeat(ir, 3, axis=-1)  # loader parity: IR png is RGB-ish
+        elif ir.shape[-1] > 3:
+            ir = ir[..., :3]
+        if rgb.shape[-1] == 1:
+            rgb = np.repeat(rgb, 3, axis=-1)
+        return rgb, ir[..., :3], self.labels[i].copy()

@@ -403,11 +403,12 @@ MODULE_REGISTRY = {
 
 
 def build_model(cfg, *, ch_in: int = 3, nc: int | None = None, anchors=None,
-                sr: bool = False, factor: int = 2, dtype=None):
+                sr: bool = False, factor: int = 2, dtype=None,
+                input_mode: str = "RGB+IR"):
     """Config -> DetectionModel (flax). See model.DetectionModel."""
     from .model import DetectionModel
     import jax.numpy as jnp
 
     spec = parse_config(cfg, ch_in=ch_in, nc=nc, anchors=anchors)
     return DetectionModel(spec=spec, sr=sr, sr_factor=factor,
-                          dtype=dtype or jnp.float32)
+                          input_mode=input_mode, dtype=dtype or jnp.float32)

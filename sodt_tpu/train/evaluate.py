@@ -1,0 +1,148 @@
+"""Evaluation runtime: batched inference -> on-device NMS -> mAP.
+
+Re-design of the reference eval loop (/root/reference/basics/test.py:30-346):
+the forward pass, Detect decode and NMS compile into ONE jitted program per
+batch shape (the reference crosses to host for torchvision NMS per image,
+test.py:152); only the greedy GT matching and AP accumulation run on host
+numpy, like the reference.
+
+Protocol parity (BASELINE.md): conf 0.001, iou 0.6, multi-label, merge-NMS,
+IoU vector 0.5:0.95:10. Speed accounting reports inference+NMS ms/img like
+test.py:301-303.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.detect import decode_detections
+from ..ops.nms import batched_nms
+from ..ops.boxes import xywhn2xyxy
+from ..utils.metrics import ap_per_class, match_predictions, ConfusionMatrix
+from .loss import LossConfig, compute_loss
+
+
+def make_eval_step(model, *, conf_thres: float = 0.001,
+                   iou_thres: float = 0.6, max_det: int = 300,
+                   top_k: int = 4096, merge: bool = True,
+                   multi_label: bool = True, loss_cfg: LossConfig | None = None):
+    """Jitted (variables, img, ir[, targets, tmask]) -> (dets, valid[, loss])."""
+
+    anchors = np.asarray(model.spec.anchors, np.float32).reshape(
+        len(model.spec.anchors), -1, 2)
+    strides = model.spec.detect_strides
+
+    @jax.jit
+    def step(variables, img, ir, targets=None, tmask=None):
+        out = model.apply(variables, img, ir, train=False)
+        pred = decode_detections(out["raw"], anchors, strides)
+        dets, valid = batched_nms(
+            pred, conf_thres=conf_thres, iou_thres=iou_thres,
+            multi_label=multi_label, max_det=max_det, top_k=top_k,
+            merge=merge)
+        losses = None
+        if loss_cfg is not None and targets is not None:
+            _, losses = compute_loss(out["raw"], targets, tmask, loss_cfg)
+        return dets, valid, losses
+
+    return step
+
+
+def evaluate(model, variables, batches, *, nc: int, img_size: int,
+             conf_thres: float = 0.001, iou_thres: float = 0.6,
+             max_det: int = 300, top_k: int = 4096, merge: bool = True,
+             loss_cfg: LossConfig | None = None, names=None,
+             confusion: bool = False, verbose: bool = False):
+    """Run the full eval protocol. Returns a metrics dict.
+
+    `batches` yields dicts from data.loader.make_eval_batches.
+    """
+    step = make_eval_step(model, conf_thres=conf_thres, iou_thres=iou_thres,
+                          max_det=max_det, top_k=top_k, merge=merge,
+                          loss_cfg=loss_cfg)
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    cm = ConfusionMatrix(nc=nc) if confusion else None
+    seen = 0
+    t_infer = 0.0
+    losses_acc = []
+
+    for batch in batches:
+        t0 = time.perf_counter()
+        dets, valid, losses = step(
+            variables, batch["img"], batch["ir"],
+            batch.get("targets"), batch.get("tmask"))
+        dets = np.asarray(dets)
+        valid = np.asarray(valid)
+        t_infer += time.perf_counter() - t0
+        if losses is not None:
+            losses_acc.append({k: float(v) for k, v in losses.items()})
+
+        targets = np.asarray(batch["targets"])
+        tmask = np.asarray(batch["tmask"])
+        nvalid = batch.get("valid", dets.shape[0])
+        for si in range(nvalid):
+            seen += 1
+            d = dets[si][valid[si]]
+            labs = targets[si][tmask[si]]
+            tcls = labs[:, 0].tolist()
+            if d.shape[0] == 0:
+                if len(tcls):
+                    stats.append((np.zeros((0, 10), bool), np.zeros(0),
+                                  np.zeros(0), tcls))
+                continue
+            # GT to pixel xyxy at network resolution
+            gt_xyxy = np.asarray(
+                xywhn2xyxy(jnp.asarray(labs[:, 1:5]), img_size, img_size))
+            labels5 = np.concatenate([labs[:, 0:1], gt_xyxy], axis=1)
+            correct = match_predictions(d, labels5, iouv)
+            if cm is not None:
+                cm.process_batch(d, labels5)
+            stats.append((correct, d[:, 4], d[:, 5], tcls))
+
+    out: dict[str, Any] = {"seen": seen,
+                           "speed_ms": 1000 * t_infer / max(seen, 1)}
+    if stats:
+        tp = np.concatenate([np.asarray(s[0]) for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        pcls = np.concatenate([s[2] for s in stats])
+        tcls = np.concatenate([np.asarray(s[3]) for s in stats])
+        if tp.size and tp.any():
+            p, r, ap, f1, cls_idx = ap_per_class(tp, conf, pcls, tcls)
+            ap50, ap_mean = ap[:, 0], ap.mean(1)
+            out.update(mp=float(p.mean()), mr=float(r.mean()),
+                       map50=float(ap50.mean()), map=float(ap_mean.mean()),
+                       per_class={int(c): dict(p=float(p[i]), r=float(r[i]),
+                                               ap50=float(ap50[i]),
+                                               ap=float(ap_mean[i]))
+                                  for i, c in enumerate(cls_idx)})
+        else:
+            out.update(mp=0.0, mr=0.0, map50=0.0, map=0.0, per_class={})
+        out["nt"] = np.bincount(tcls.astype(np.int64), minlength=nc).tolist()
+    else:
+        out.update(mp=0.0, mr=0.0, map50=0.0, map=0.0, per_class={}, nt=[0])
+    if losses_acc:
+        out["val_loss"] = {k: float(np.mean([l[k] for l in losses_acc]))
+                           for k in losses_acc[0]}
+    if cm is not None:
+        out["confusion_matrix"] = cm.matrix
+    if verbose and names and out.get("per_class"):
+        print(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} {'mAP':>8}")
+        print(f"{'all':>12} {out['mp']:8.4f} {out['mr']:8.4f} "
+              f"{out['map50']:8.4f} {out['map']:8.4f}")
+        for c, v in out["per_class"].items():
+            nm = names[c] if c < len(names) else str(c)
+            print(f"{nm:>12} {v['p']:8.4f} {v['r']:8.4f} "
+                  f"{v['ap50']:8.4f} {v['ap']:8.4f}")
+    return out
+
+
+def fitness_from_metrics(m: dict) -> float:
+    """0.9*mAP50 + 0.1*mAP (reference general.py:36-39)."""
+    return 0.9 * m.get("map50", 0.0) + 0.1 * m.get("map", 0.0)

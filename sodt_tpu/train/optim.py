@@ -1,0 +1,151 @@
+"""Optimizer, LR/momentum schedules, param grouping, EMA — optax-based.
+
+Re-design of the reference training optimization stack:
+  * param grouping: no weight decay for 1-D params (BN scales, biases,
+    norms), decay for conv/dense kernels, with the reference's hardcoded
+    0.00048 decay quirk reproduced as the default
+    (/root/reference/basics/optimizer.py:35-50),
+  * SGD(nesterov) or Adam(beta1=momentum) (Train.py:147-150),
+  * cosine one-cycle LR 1 -> lrf over epochs (general.py:190-192) or linear,
+  * per-iteration warmup (>=1000 iters or 3 epochs): LR ramps from 0
+    (biases from warmup_bias_lr) and momentum from warmup_momentum
+    (Train.py:280,384-392) — expressed as jit-friendly schedules via
+    optax.inject_hyperparams,
+  * EMA with decay 0.9999 * (1 - exp(-step/2000))
+    (torch_utils.py:271-305), applied to params and BN stats.
+
+Gradient accumulation (nominal batch 64, Train.py:124-126) wraps the whole
+transformation in optax.MultiSteps with a static every_k.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+REFERENCE_WD = 0.00048  # optimizer.py:49 hardcodes this over hyp weight_decay
+
+
+def one_cycle(y1: float = 0.0, y2: float = 1.0, steps: int = 100):
+    """Cosine ramp y1 -> y2 (reference general.py:190-192)."""
+    def f(x):
+        return ((1 - jnp.cos(x * math.pi / steps)) / 2) * (y2 - y1) + y1
+    return f
+
+
+def linear_lf(lrf: float, epochs: int):
+    def f(x):
+        return (1 - x / (epochs - 1)) * (1.0 - lrf) + lrf
+    return f
+
+
+def lr_schedules(hyp: dict, epochs: int, nb: int, *, linear_lr: bool = False,
+                 accumulate: int = 1):
+    """Per-optimizer-step LR schedules (weights/bn vs bias) + momentum.
+
+    `nb` = batches per epoch. Warmup spans max(3 epochs, 1000 iters) of
+    *data* iterations (Train.py:280); with gradient accumulation one
+    optimizer step consumes `accumulate` data iterations.
+    """
+    lr0 = hyp["lr0"]
+    lrf = hyp["lrf"]
+    lf = (linear_lf(lrf, epochs) if linear_lr
+          else one_cycle(1.0, lrf, epochs))
+    # reference floors warmup at 1000 data iterations (Train.py:280);
+    # hyp["warmup_iters"] overrides for tests/short runs
+    warmup_iters = hyp.get(
+        "warmup_iters",
+        max(round(hyp.get("warmup_epochs", 3.0) * nb), 1000))
+    warmup_iters = max(warmup_iters, 1)
+
+    def base_lr(ni):
+        epoch = ni / nb
+        return lr0 * lf(epoch)
+
+    def _interp(ni, y0, y1):
+        t = jnp.clip(ni / warmup_iters, 0.0, 1.0)
+        return y0 + t * (y1 - y0)
+
+    def lr_weights(step):
+        ni = step * accumulate
+        warm = _interp(ni, 0.0, base_lr(ni))
+        return jnp.where(ni < warmup_iters, warm, base_lr(ni))
+
+    def lr_bias(step):
+        ni = step * accumulate
+        warm = _interp(ni, hyp.get("warmup_bias_lr", 0.1), base_lr(ni))
+        return jnp.where(ni < warmup_iters, warm, base_lr(ni))
+
+    def momentum(step):
+        ni = step * accumulate
+        warm = _interp(ni, hyp.get("warmup_momentum", 0.8), hyp["momentum"])
+        return jnp.where(ni < warmup_iters, warm, hyp["momentum"])
+
+    return lr_weights, lr_bias, momentum, warmup_iters
+
+
+def param_labels(params) -> Any:
+    """'decay' for >=2-D kernels, 'bias' for *bias leaves, 'nodecay' else.
+
+    Mirrors set_weight_decay's split (optimizer.py:35-50) plus the separate
+    bias warmup group (Train.py:138-150).
+    """
+    def label(path, p):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if p.ndim >= 2 and "bias" not in name:
+            return "decay"
+        if name == "bias":
+            return "bias"
+        return "nodecay"
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(hyp: dict, params, epochs: int, nb: int, *,
+                   adam: bool = False, linear_lr: bool = False,
+                   accumulate: int = 1,
+                   weight_decay: float | None = None):
+    """Build the full optax chain (grouped wd + schedules + accumulation)."""
+    lr_w, lr_b, mom, _ = lr_schedules(hyp, epochs, nb, linear_lr=linear_lr,
+                                      accumulate=accumulate)
+    wd = REFERENCE_WD if weight_decay is None else weight_decay
+
+    def sgd_group(lr_fn, use_wd):
+        chain = []
+        if use_wd:
+            chain.append(optax.add_decayed_weights(wd))
+        if adam:
+            chain.append(optax.inject_hyperparams(
+                lambda b1: optax.scale_by_adam(b1=b1))(b1=mom))
+        else:
+            chain.append(optax.inject_hyperparams(
+                lambda momentum: optax.trace(decay=momentum, nesterov=True))(
+                    momentum=mom))
+        chain.append(optax.inject_hyperparams(
+            lambda learning_rate: optax.scale_by_learning_rate(
+                learning_rate))(learning_rate=lr_fn))
+        return optax.chain(*chain)
+
+    tx = optax.multi_transform(
+        {"decay": sgd_group(lr_w, True),
+         "nodecay": sgd_group(lr_w, False),
+         "bias": sgd_group(lr_b, False)},
+        param_labels(params))
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx
+
+
+def ema_decay(step, base: float = 0.9999, tau: float = 2000.0):
+    """EMA decay ramp (torch_utils.py:283): d = base*(1 - e^{-t/tau})."""
+    return base * (1.0 - jnp.exp(-step / tau))
+
+
+def ema_update(ema_tree, new_tree, step):
+    """One EMA step over an arbitrary pytree (params + batch_stats)."""
+    d = ema_decay(step.astype(jnp.float32))
+    return jax.tree.map(lambda e, p: e * d + (1.0 - d) * p.astype(e.dtype),
+                        ema_tree, new_tree)

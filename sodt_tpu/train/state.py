@@ -1,0 +1,101 @@
+"""TrainState + the single jitted train step.
+
+The reference spreads training-step state across mutable objects (model
+buffers, GradScaler, ModelEMA, LambdaLR — Train.py:280-453). Here the entire
+step is one pure function `train_step(state, batch) -> (state, metrics)`
+over an explicit pytree, which jits once and shards over the device mesh:
+
+  * forward (bf16-capable) with BN stats carried in `batch_stats`,
+  * detection loss (+ optional SR L1, Train.py:407-427),
+  * grads -> optax update (schedules + warmup are functions of state.step),
+  * EMA of params and BN stats (gated on real optimizer steps when
+    gradient accumulation wraps the transformation).
+
+No GradScaler: bf16 on TPU keeps the fp32 exponent range so loss scaling is
+unnecessary (SURVEY.md §2.5 AMP row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from .loss import LossConfig, compute_loss
+from .optim import ema_update
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_batch_stats: Any
+    ema_updates: jax.Array  # EMA update counter (torch_utils.py:287)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   ema_params=jax.tree.map(jnp.asarray, params),
+                   ema_batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+                   ema_updates=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
+                    sr_weight: float = 0.5, accumulate: int = 1):
+    """Build the jittable train step for a DetectionModel.
+
+    batch: dict with
+      img   (B, H, W, 3) float in [0, 1]
+      ir    (B, H, W, 3) float in [0, 1]
+      targets (B, M, 5) [cls, cx, cy, w, h] normalized; tmask (B, M) bool
+      hr    optional (B, Hf, Wf, C) SR reconstruction target in [0, 1]
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"], batch.get("ir"), train=True,
+            mutable=["batch_stats"])
+        total, parts = compute_loss(out["raw"], batch["targets"],
+                                    batch["tmask"], loss_cfg)
+        if sr and "sr" in out and "hr" in batch:
+            sr_loss = jnp.mean(jnp.abs(out["sr"].astype(jnp.float32)
+                                       - batch["hr"]))
+            total = total + sr_weight * sr_loss
+            parts = dict(parts, sr=sr_loss)
+        return total, (parts, mut["batch_stats"])
+
+    def train_step(state: TrainState, batch):
+        (total, (parts, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if accumulate > 1:
+            did_step = new_opt.mini_step == 0
+        else:
+            did_step = jnp.asarray(True)
+
+        new_updates = state.ema_updates + did_step.astype(jnp.int32)
+        ema_p = ema_update(state.ema_params, new_params, new_updates)
+        ema_b = ema_update(state.ema_batch_stats, new_bs, new_updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(did_step, n, o), new, old)
+        ema_p = keep(ema_p, state.ema_params)
+        ema_b = keep(ema_b, state.ema_batch_stats)
+
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, ema_params=ema_p, ema_batch_stats=ema_b,
+            ema_updates=new_updates)
+        metrics = {"loss": total, **{k: v for k, v in parts.items()}}
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,196 @@
+"""Training runtime: the `train()` entry point (reference Train.py:51-596).
+
+One jitted train step over a data mesh replaces the reference's
+DP/DDP/AMP/GradScaler choreography; per-epoch eval, EMA checkpointing,
+fitness-based best tracking, cosine schedule + warmup and gradient
+accumulation all follow the reference semantics (see optim.py / state.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+from ..models import build_model
+from ..parallel import make_mesh, shard_batch, replicate_tree
+from ..data import SyntheticVedai, VedaiDataset
+from ..data.loader import make_train_batches, make_eval_batches
+from .loss import LossConfig
+from .optim import make_optimizer
+from .state import TrainState, make_train_step
+from .evaluate import evaluate, fitness_from_metrics
+from .checkpoint import save_checkpoint, load_checkpoint, eval_variables
+
+NOMINAL_BATCH = 64  # reference nbs (Train.py:124)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    cfg: str = "configs/model.yaml"
+    data: str = "configs/data_vedai.yaml"
+    hyp: str = "configs/hyp.scratch.yaml"
+    epochs: int = 300
+    batch_size: int = 16
+    img_size: int = 512
+    input_mode: str = "RGB+IR"
+    sr: bool = False                 # --super
+    sr_factor: int = 1
+    adam: bool = False
+    linear_lr: bool = False
+    synthetic: bool = False          # use the synthetic dataset
+    synthetic_n: int = 64
+    save_dir: str = "runs/train/exp"
+    seed: int = 0
+    eval_every: int = 1
+    max_labels: int = 30
+    bf16: bool = True
+    resume: str = ""
+    log_every: int = 10
+
+
+def _load_hyp(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _datasets(tc: TrainConfig, data_cfg: dict):
+    if tc.synthetic:
+        train = SyntheticVedai(n=tc.synthetic_n, img_size=tc.img_size,
+                               nc=data_cfg.get("nc", 8), seed=tc.seed)
+        val = SyntheticVedai(n=max(tc.synthetic_n // 4, 4),
+                             img_size=tc.img_size,
+                             nc=data_cfg.get("nc", 8), seed=tc.seed + 1)
+        return train, val
+    train = VedaiDataset(data_cfg["train"], img_size=tc.img_size)
+    val = VedaiDataset(data_cfg.get("val", data_cfg.get("test")),
+                       img_size=tc.img_size)
+    return train, val
+
+
+def train(tc: TrainConfig) -> dict:
+    save_dir = Path(tc.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    hyp = _load_hyp(tc.hyp)
+    with open(tc.data) as f:
+        data_cfg = yaml.safe_load(f)
+    nc = int(data_cfg.get("nc", 8))
+    names = data_cfg.get("names", [str(i) for i in range(nc)])
+    (save_dir / "hyp.yaml").write_text(yaml.dump(hyp))
+    (save_dir / "opt.yaml").write_text(yaml.dump(dataclasses.asdict(tc)))
+
+    ch_in = {"RGB": 3, "IR": 3, "RGB+IR": 4,
+             "RGB+IR+fusion": 8, "RGB+IR+MF": 3}[tc.input_mode]
+    dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
+    model = build_model(tc.cfg, ch_in=ch_in, nc=nc, sr=tc.sr,
+                        factor=tc.sr_factor, dtype=dtype,
+                        input_mode=tc.input_mode)
+
+    train_ds, val_ds = _datasets(tc, data_cfg)
+    nb = max(len(train_ds) // tc.batch_size, 1)
+    accumulate = max(round(NOMINAL_BATCH / tc.batch_size), 1)
+
+    # scale loss gains like Train.py:269-271
+    nl = len(model.spec.anchors)
+    hyp = dict(hyp)
+    hyp["box"] = hyp["box"] * 3.0 / nl
+    hyp["cls"] = hyp["cls"] * nc / 80.0 * 3.0 / nl
+    hyp["obj"] = hyp["obj"] * (tc.img_size / 640) ** 2 * 3.0 / nl
+
+    x0 = jnp.zeros((2, tc.img_size, tc.img_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(tc.seed), x0, x0, train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    nparams = sum(p.size for p in jax.tree.leaves(params))
+
+    tx = make_optimizer(hyp, params, epochs=tc.epochs, nb=nb,
+                        adam=tc.adam, linear_lr=tc.linear_lr,
+                        accumulate=accumulate,
+                        weight_decay=None)
+    state = TrainState.create(params, batch_stats, tx)
+
+    start_epoch = 0
+    best_fitness = 0.0
+    if tc.resume:
+        ckpt = load_checkpoint(tc.resume)
+        state = state.replace(
+            step=jnp.asarray(ckpt["step"]), params=ckpt["params"],
+            batch_stats=ckpt["batch_stats"],
+            ema_params=ckpt["ema_params"],
+            ema_batch_stats=ckpt["ema_batch_stats"],
+            ema_updates=jnp.asarray(ckpt["ema_updates"]))
+        start_epoch = int(ckpt["epoch"]) + 1
+        best_fitness = float(ckpt["best_fitness"])
+
+    loss_cfg = LossConfig(
+        nc=nc, anchors=model.spec.anchors, strides=model.spec.detect_strides,
+        hyp_box=hyp["box"], hyp_obj=hyp["obj"], hyp_cls=hyp["cls"],
+        cls_pw=hyp.get("cls_pw", 1.0), obj_pw=hyp.get("obj_pw", 1.0),
+        anchor_t=hyp.get("anchor_t", 4.0), fl_gamma=hyp.get("fl_gamma", 0.0))
+
+    step_fn = jax.jit(make_train_step(model, tx, loss_cfg, sr=tc.sr,
+                                      accumulate=accumulate))
+
+    mesh = make_mesh()
+    state = replicate_tree(state, mesh)
+
+    print(f"model {tc.cfg} ({nparams / 1e6:.2f}M params), "
+          f"{len(mesh.devices.ravel())} device(s), nb={nb}/epoch, "
+          f"accumulate={accumulate}")
+
+    results_file = save_dir / "results.txt"
+    batches = make_train_batches(
+        train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
+        max_labels_per_image=tc.max_labels, epochs=None)
+
+    metrics_out: dict[str, Any] = {}
+    t_start = time.time()
+    for epoch in range(start_epoch, tc.epochs):
+        t_epoch = time.time()
+        losses = []
+        for bi in range(nb):
+            batch = next(batches)
+            batch = {k: v for k, v in batch.items() if k != "epoch"}
+            batch = shard_batch(batch, mesh)
+            state, m = step_fn(state, batch)
+            if bi % tc.log_every == 0:
+                losses.append({k: float(v) for k, v in m.items()})
+        mean_losses = {k: float(np.mean([l[k] for l in losses]))
+                       for k in losses[0]} if losses else {}
+
+        ips = tc.batch_size * nb / (time.time() - t_epoch)
+        line = (f"epoch {epoch}/{tc.epochs - 1} "
+                + " ".join(f"{k}={v:.4f}" for k, v in mean_losses.items())
+                + f" img/s={ips:.1f}")
+
+        if (epoch + 1) % tc.eval_every == 0 or epoch == tc.epochs - 1:
+            evars = {"params": state.ema_params,
+                     "batch_stats": state.ema_batch_stats}
+            m = evaluate(model, evars,
+                         make_eval_batches(val_ds, tc.batch_size,
+                                           tc.img_size),
+                         nc=nc, img_size=tc.img_size, names=names)
+            fit = fitness_from_metrics(m)
+            line += (f" mAP50={m['map50']:.4f} mAP={m['map']:.4f} "
+                     f"fit={fit:.4f}")
+            metrics_out = m
+            save_checkpoint(save_dir / "last", state, epoch=epoch,
+                            best_fitness=best_fitness)
+            if fit > best_fitness:
+                best_fitness = fit
+                save_checkpoint(save_dir / "best", state, epoch=epoch,
+                                best_fitness=best_fitness)
+        print(line)
+        with open(results_file, "a") as f:
+            f.write(line + "\n")
+
+    metrics_out["train_time_s"] = time.time() - t_start
+    metrics_out["best_fitness"] = best_fitness
+    return metrics_out

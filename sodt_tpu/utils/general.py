@@ -1,0 +1,81 @@
+"""Misc utilities (reference basics/utils/general.py surface)."""
+
+from __future__ import annotations
+
+import logging
+import math
+import re
+from pathlib import Path
+
+import numpy as np
+
+
+def set_logging(rank: int = 0):
+    logging.basicConfig(
+        format="%(message)s",
+        level=logging.INFO if rank in (-1, 0) else logging.WARN)
+
+
+def check_img_size(img_size: int, s: int = 32) -> int:
+    """Round img_size up to a multiple of stride s (general.py:127-132)."""
+    new_size = int(math.ceil(img_size / s) * s)
+    if new_size != img_size:
+        print(f"WARNING: --img-size {img_size} must be multiple of {s}, "
+              f"updating to {new_size}")
+    return new_size
+
+
+def colorstr(*inputs):
+    """ANSI-colored string (general.py:195-217)."""
+    *args, string = inputs if len(inputs) > 1 else ("blue", "bold", inputs[0])
+    colors = {"black": "\033[30m", "red": "\033[31m", "green": "\033[32m",
+              "yellow": "\033[33m", "blue": "\033[34m",
+              "magenta": "\033[35m", "cyan": "\033[36m", "white": "\033[37m",
+              "bright_red": "\033[91m", "bright_green": "\033[92m",
+              "end": "\033[0m", "bold": "\033[1m", "underline": "\033[4m"}
+    return "".join(colors[x] for x in args) + f"{string}" + colors["end"]
+
+
+def clean_str(s: str) -> str:
+    return re.sub(pattern="[|@#!¡·$€%&()=?¿^*;:,¨´><+]", repl="_", string=s)
+
+
+def labels_to_class_weights(labels, nc: int = 80) -> np.ndarray:
+    """Inverse-frequency class weights (general.py:220-236)."""
+    if not len(labels) or labels[0] is None:
+        return np.zeros(0)
+    cat = np.concatenate(labels, 0)
+    classes = cat[:, 0].astype(np.int32)
+    weights = np.bincount(classes, minlength=nc).astype(np.float64)
+    weights[weights == 0] = 1
+    weights = 1 / weights
+    return weights / weights.sum()
+
+
+def labels_to_image_weights(labels, nc: int = 80,
+                            class_weights=None) -> np.ndarray:
+    """Per-image sampling weights (general.py:239-244)."""
+    if class_weights is None:
+        class_weights = np.ones(nc)
+    counts = np.array([np.bincount(x[:, 0].astype(int), minlength=nc)
+                       for x in labels])
+    return (class_weights.reshape(1, nc) * counts).sum(1)
+
+
+def increment_path(path, exist_ok: bool = False) -> Path:
+    """runs/exp -> runs/exp{2,3,...} (general.py increment_path)."""
+    path = Path(path)
+    if not path.exists() or exist_ok:
+        return path
+    for n in range(2, 9999):
+        p = Path(f"{path}{n}")
+        if not p.exists():
+            return p
+    raise RuntimeError("increment_path exhausted")
+
+
+def get_latest_run(search_dir: str = ".") -> str:
+    """Most recent last* checkpoint dir for --resume (general.py:54-57)."""
+    paths = sorted(Path(search_dir).rglob("last*"),
+                   key=lambda p: p.stat().st_mtime)
+    return str(paths[-1]) if paths else ""

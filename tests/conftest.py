@@ -16,4 +16,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# the axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS from the environment; re-assert CPU for tests
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

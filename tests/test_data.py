@@ -1,0 +1,184 @@
+"""Data pipeline tests: path derivation, synthetic dataset, device
+augmentation geometry, loaders, autoanchor, dataset prep."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sodt_tpu.data.vedai import derive_ir_path, derive_label_path
+from sodt_tpu.data.synthetic import SyntheticVedai
+from sodt_tpu.data.loader import (pad_labels, make_train_batches,
+                                  make_eval_batches)
+from sodt_tpu.data.augment import (affine_sample, box_candidates,
+                                   warp_labels, hsv_augment, mosaic4,
+                                   flips)
+from sodt_tpu.data.prepare import update_annotation_row, CLASS_REMAP
+from sodt_tpu.utils.autoanchor import (anchor_metric, kmean_anchors,
+                                       check_anchors)
+
+
+def test_path_derivation():
+    # reference rules: datasets.py:368-376
+    p = "/data/VEDAI/images/00000001_co.png"
+    assert derive_ir_path(p) == "/data/VEDAI/images/00000001_ir.png"
+    assert derive_label_path(p) == "/data/VEDAI/labels/00000001.txt"
+
+
+def test_synthetic_dataset_shapes():
+    ds = SyntheticVedai(n=4, img_size=64, nc=8)
+    rgb, ir, labels = ds[0]
+    assert rgb.shape == (64, 64, 3) and rgb.dtype == np.uint8
+    assert ir.shape == (64, 64, 3)
+    assert labels.shape[1] == 5
+    assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
+    # deterministic
+    rgb2, _, labels2 = ds[0]
+    np.testing.assert_array_equal(rgb, rgb2)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_pad_labels():
+    out, mask = pad_labels(np.ones((3, 5), np.float32), 8)
+    assert out.shape == (8, 5) and mask.sum() == 3
+    out, mask = pad_labels(np.ones((12, 5), np.float32), 8)
+    assert mask.sum() == 8  # truncates
+
+
+def test_affine_sample_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (16, 16, 3)).astype(np.float32))
+    out = affine_sample(img, jnp.eye(3), (16, 16))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+
+def test_affine_sample_translation_pads():
+    img = jnp.ones((8, 8, 1), jnp.float32) * 50
+    # inverse maps output (x,y) -> input (x-4, y): right half comes from the
+    # image, left half out-of-bounds -> 114
+    minv = jnp.asarray([[1, 0, -4], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    out = np.asarray(affine_sample(img, minv, (8, 8)))
+    assert (out[:, 4:] == 50).all()
+    assert (out[:, :3] == 114).all()
+
+
+def test_box_candidates():
+    b1 = jnp.asarray([[0, 0, 100, 100], [0, 0, 100, 100],
+                      [0, 0, 100, 100]], jnp.float32)
+    b2 = jnp.asarray([
+        [0, 0, 50, 50],      # ok: area ratio 0.25
+        [0, 0, 1, 50],       # too thin (w < 2)
+        [0, 0, 9, 9],        # area ratio 0.0081 < 0.1
+    ], jnp.float32)
+    keep = np.asarray(box_candidates(b1, b2))
+    assert keep.tolist() == [True, False, False]
+
+
+def test_warp_labels_identity():
+    labels = jnp.asarray([[10, 10, 30, 30]], jnp.float32)
+    mask = jnp.asarray([True])
+    new, keep = warp_labels(labels, mask, jnp.eye(3), (64, 64))
+    np.testing.assert_allclose(np.asarray(new), [[10, 10, 30, 30]], atol=1e-4)
+    assert bool(keep[0])
+
+
+def test_hsv_augment_zero_gain_is_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 255, (8, 8, 3)).astype(np.float32))
+    out = hsv_augment(img, jax.random.PRNGKey(0), 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=0.5)
+
+
+def test_hsv_preserves_range():
+    img = jnp.asarray(np.random.default_rng(1).uniform(
+        0, 255, (8, 8, 3)).astype(np.float32))
+    out = np.asarray(hsv_augment(img, jax.random.PRNGKey(1)))
+    assert out.min() >= -1e-3 and out.max() <= 255.001
+
+
+def test_mosaic4_labels_inside_canvas():
+    s = 32
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, s, s, 3)).astype(np.float32))
+    irs = imgs
+    labels = jnp.asarray(
+        np.tile(np.array([[4, 4, 12, 12]], np.float32), (4, 1))[:, None])
+    masks = jnp.ones((4, 1), bool)
+    canvas, canvas_ir, out, mask = mosaic4(imgs, irs, labels, masks,
+                                           jax.random.PRNGKey(0), s)
+    assert canvas.shape == (2 * s, 2 * s, 3)
+    out = np.asarray(out)
+    assert (out >= 0).all() and (out <= 2 * s).all()
+    assert np.asarray(mask).all()
+
+
+def test_flips_lr():
+    img = jnp.arange(4 * 4 * 1, dtype=jnp.float32).reshape(4, 4, 1)
+    labels = jnp.asarray([[0, 0.25, 0.5, 0.1, 0.1]], jnp.float32)
+    mask = jnp.asarray([True])
+    # fliplr_p=1.0 forces the flip
+    img2, _, lab2, _ = flips(img, img, labels, mask, jax.random.PRNGKey(0),
+                             flipud_p=0.0, fliplr_p=1.0)
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(img[:, ::-1]))
+    assert float(lab2[0, 1]) == pytest.approx(0.75)
+    assert float(lab2[0, 2]) == pytest.approx(0.5)
+
+
+def test_train_batches_shapes_and_determinism():
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = {"translate": 0.1, "scale": 0.5, "fliplr": 0.5, "mixup": 0.0}
+    b1 = next(make_train_batches(ds, 2, 64, hyp, seed=7))
+    b2 = next(make_train_batches(ds, 2, 64, hyp, seed=7))
+    np.testing.assert_allclose(np.asarray(b1["img"]), np.asarray(b2["img"]))
+    assert b1["img"].shape == (2, 64, 64, 3)
+    assert float(b1["img"].max()) <= 1.0
+
+
+def test_eval_batches_padding():
+    ds = SyntheticVedai(n=5, img_size=64, nc=8)
+    batches = list(make_eval_batches(ds, 2, 64))
+    assert len(batches) == 3
+    assert batches[-1]["valid"] == 1
+    assert batches[-1]["img"].shape == (2, 64, 64, 3)
+
+
+def test_anchor_metric_perfect():
+    wh = np.array([[10.0, 13.0], [33, 23]])
+    k = np.array([[10.0, 13], [16, 30], [33, 23]])
+    bpr, aat = anchor_metric(wh, k, thr=4.0)
+    assert bpr == 1.0
+
+
+def test_kmeans_anchors_recovers_clusters():
+    rng = np.random.default_rng(0)
+    truth = np.array([[10, 10], [40, 40], [100, 60]])
+    labels, shapes = [], []
+    for _ in range(50):
+        wh = truth[rng.integers(0, 3, 8)] * rng.uniform(0.95, 1.05, (8, 2))
+        lab = np.zeros((8, 5), np.float32)
+        lab[:, 3:5] = wh / 640
+        labels.append(lab)
+        shapes.append([640, 640])
+    k = kmean_anchors(labels, np.asarray(shapes, float), n=3, img_size=640,
+                      gen=100, seed=0)
+    k = k[np.argsort(k.prod(1))]
+    assert np.abs(k - truth).max() / truth.max() < 0.15
+
+
+def test_check_anchors_keeps_good():
+    labels = [np.array([[0, 0.5, 0.5, 10 / 640, 13 / 640]], np.float32)]
+    shapes = np.array([[640.0, 640]])
+    anchors = np.array([[[10.0, 13], [16, 30], [33, 23]]])
+    out, changed, bpr = check_anchors(labels, shapes, anchors,
+                                      img_size=640)
+    assert not changed and bpr == 1.0
+
+
+def test_update_annotation_row():
+    row = [1, 100, 150, 150, 100, 100, 100, 150, 150]
+    out = update_annotation_row(row, 512, 512)
+    cls, cx, cy, w, h = out
+    assert cls == CLASS_REMAP[1] == 0
+    assert cx == pytest.approx(125 / 512)
+    assert w == pytest.approx(50 / 512)
+    assert update_annotation_row([99] + row[1:], 512, 512) is None

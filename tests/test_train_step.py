@@ -1,0 +1,92 @@
+"""Train-step integration: loss decreases when overfitting one batch, EMA
+moves, and the step runs sharded over the 8-device CPU mesh."""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sodt_tpu.models import build_model
+from sodt_tpu.train.loss import LossConfig
+from sodt_tpu.train.optim import make_optimizer
+from sodt_tpu.train.state import TrainState, make_train_step
+from sodt_tpu.parallel import make_mesh, shard_batch, replicate_tree
+
+TINY = str(Path(__file__).parent / "tiny.yaml")
+HYP = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "weight_decay": 0.0005,
+       "warmup_epochs": 0.0, "warmup_iters": 1,
+       "warmup_momentum": 0.8, "warmup_bias_lr": 0.1,
+       "box": 0.05, "cls": 0.5, "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0,
+       "anchor_t": 4.0, "fl_gamma": 0.0}
+
+
+def _setup(batch=2, img=64, mode="RGB"):
+    model = build_model(TINY, ch_in=3, input_mode=mode)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(batch, img, img, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    targets = np.zeros((batch, 8, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    targets[:, 1] = [0, 0.25, 0.25, 0.12, 0.12]
+    tmask = np.zeros((batch, 8), bool)
+    tmask[:, :2] = True
+    batch_d = {"img": x, "ir": x, "targets": jnp.asarray(targets),
+               "tmask": jnp.asarray(tmask)}
+    cfg = LossConfig(nc=model.spec.nc, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides,
+                     hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                     hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+    tx = make_optimizer(HYP, variables["params"], epochs=50, nb=1)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    step = make_train_step(model, tx, cfg)
+    return model, state, step, batch_d
+
+
+def test_overfit_single_batch():
+    model, state, step, batch = _setup()
+    jstep = jax.jit(step)
+    state, m0 = jstep(state, batch)
+    first = float(m0["loss"])
+    for _ in range(30):
+        state, m = jstep(state, batch)
+    last = float(m["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < 0.7 * first, (first, last)
+
+
+def test_ema_moves_toward_params():
+    model, state, step, batch = _setup()
+    jstep = jax.jit(step)
+    for _ in range(3):
+        state, _ = jstep(state, batch)
+    # EMA must differ from both init and current params but stay finite
+    p = jax.tree.leaves(state.params)[0]
+    e = jax.tree.leaves(state.ema_params)[0]
+    assert np.isfinite(np.asarray(e)).all()
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+    assert int(state.ema_updates) == 3
+
+
+def test_train_step_on_mesh():
+    model, state, step, batch = _setup(batch=8)
+    mesh = make_mesh()
+    assert len(mesh.devices.ravel()) == 8
+    state = replicate_tree(state, mesh)
+    sbatch = shard_batch(batch, mesh)
+    jstep = jax.jit(step)
+    state2, m = jstep(state, sbatch)
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated after the update
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_batchnorm_stats_update():
+    model, state, step, batch = _setup()
+    bs0 = jax.tree.leaves(state.batch_stats)[0].copy()
+    state, _ = jax.jit(step)(state, batch)
+    bs1 = jax.tree.leaves(state.batch_stats)[0]
+    assert not np.allclose(np.asarray(bs0), np.asarray(bs1))

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Training CLI — the reference `python Train.py ...` surface
+(/root/reference/Train.py:599-642), TPU-native.
+
+Example:
+  python train.py --cfg configs/model.yaml --data configs/data_vedai.yaml \
+      --hyp configs/hyp.scratch.yaml --input_mode RGB+IR --batch-size 16
+  python train.py --cfg configs/yolo5m.yaml --synthetic --epochs 3 \
+      --img-size 256 --batch-size 4        # smoke run, no dataset needed
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from sodt_tpu.train.trainer import TrainConfig, train
+
+
+def parse_args(argv=None) -> TrainConfig:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg", default="configs/model.yaml",
+                   help="model yaml")
+    p.add_argument("--data", default="configs/data_vedai.yaml")
+    p.add_argument("--hyp", default="configs/hyp.scratch.yaml")
+    p.add_argument("--epochs", type=int, default=300)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--img-size", "--train_img_size", type=int, default=512,
+                   dest="img_size")
+    p.add_argument("--input_mode", default="RGB+IR",
+                   choices=["RGB", "IR", "RGB+IR", "RGB+IR+fusion",
+                            "RGB+IR+MF"])
+    p.add_argument("--super", action="store_true", dest="sr",
+                   help="train the super-resolution auxiliary branch")
+    p.add_argument("--factor", type=int, default=1, dest="sr_factor")
+    p.add_argument("--adam", action="store_true")
+    p.add_argument("--linear-lr", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic VEDAI-like dataset")
+    p.add_argument("--synthetic-n", type=int, default=64)
+    p.add_argument("--save-dir", "--project", default="runs/train/exp",
+                   dest="save_dir")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--no-bf16", action="store_false", dest="bf16")
+    p.add_argument("--resume", default="")
+    p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    a = p.parse_args(argv)
+    if a.platform:
+        import jax
+        jax.config.update("jax_platforms", a.platform)
+    return TrainConfig(cfg=a.cfg, data=a.data, hyp=a.hyp, epochs=a.epochs,
+                       batch_size=a.batch_size, img_size=a.img_size,
+                       input_mode=a.input_mode, sr=a.sr,
+                       sr_factor=a.sr_factor, adam=a.adam,
+                       linear_lr=a.linear_lr, synthetic=a.synthetic,
+                       synthetic_n=a.synthetic_n, save_dir=a.save_dir,
+                       seed=a.seed, eval_every=a.eval_every, bf16=a.bf16,
+                       resume=a.resume)
+
+
+if __name__ == "__main__":
+    metrics = train(parse_args())
+    print({k: v for k, v in metrics.items()
+           if not isinstance(v, dict) or k == "val_loss"})

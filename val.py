@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Evaluation CLI — the reference `python -m basics.test` surface
+(/root/reference/basics/test.py:348-408), TPU-native.
+
+Tasks: val/test (mAP), speed (latency sweep), study (accuracy/latency vs
+image size 256..1536 step 128, test.py:395-408).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import yaml
+
+from sodt_tpu.models import build_model
+from sodt_tpu.data import SyntheticVedai, VedaiDataset
+from sodt_tpu.data.loader import make_eval_batches
+from sodt_tpu.train.evaluate import evaluate, make_eval_step
+from sodt_tpu.train.checkpoint import load_checkpoint, eval_variables
+
+
+def build(a, img_size: int):
+    with open(a.data) as f:
+        data_cfg = yaml.safe_load(f)
+    nc = int(data_cfg.get("nc", 8))
+    names = data_cfg.get("names", [str(i) for i in range(nc)])
+    ch_in = {"RGB": 3, "IR": 3, "RGB+IR": 4, "RGB+IR+fusion": 8,
+             "RGB+IR+MF": 3}[a.input_mode]
+    dtype = jnp.bfloat16 if a.bf16 else jnp.float32
+    model = build_model(a.cfg, ch_in=ch_in, nc=nc, dtype=dtype,
+                        input_mode=a.input_mode)
+    if a.weights:
+        variables = eval_variables(load_checkpoint(a.weights))
+    else:
+        x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    if a.synthetic:
+        ds = SyntheticVedai(n=a.synthetic_n, img_size=img_size, nc=nc,
+                            seed=1)
+    else:
+        ds = VedaiDataset(data_cfg.get(a.task if a.task in ("val", "test",
+                                                            "train")
+                                       else "val", data_cfg["val"]),
+                          img_size=img_size)
+    return model, variables, ds, nc, names
+
+
+def run_map(a, img_size: int):
+    model, variables, ds, nc, names = build(a, img_size)
+    m = evaluate(model, variables,
+                 make_eval_batches(ds, a.batch_size, img_size),
+                 nc=nc, img_size=img_size, conf_thres=a.conf_thres,
+                 iou_thres=a.iou_thres, names=names, verbose=a.verbose)
+    return m
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg", default="configs/model.yaml")
+    p.add_argument("--data", default="configs/data_vedai.yaml")
+    p.add_argument("--weights", default="")
+    p.add_argument("--task", default="val",
+                   choices=["val", "test", "train", "speed", "study"])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--input_mode", default="RGB+IR")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-n", type=int, default=16)
+    p.add_argument("--no-bf16", action="store_false", dest="bf16")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    a = p.parse_args(argv)
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+
+    if a.task in ("val", "test", "train"):
+        m = run_map(a, a.img_size)
+        print(json.dumps({k: v for k, v in m.items()
+                          if isinstance(v, (int, float))}))
+    elif a.task == "speed":
+        model, variables, ds, nc, names = build(a, a.img_size)
+        step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45)
+        x = jnp.zeros((a.batch_size, a.img_size, a.img_size, 3))
+        dets, valid, _ = step(variables, x, x)
+        jax.block_until_ready(dets)
+        t0 = time.perf_counter()
+        n = 20
+        for _ in range(n):
+            dets, valid, _ = step(variables, x, x)
+        jax.block_until_ready(dets)
+        dt = (time.perf_counter() - t0) / (n * a.batch_size) * 1000
+        print(json.dumps({"ms_per_image": dt, "img_size": a.img_size,
+                          "batch_size": a.batch_size}))
+    elif a.task == "study":
+        rows = []
+        for s in range(256, 1537, 128):
+            try:
+                m = run_map(a, s)
+                rows.append({"img_size": s, "map50": m["map50"],
+                             "map": m["map"], "speed_ms": m["speed_ms"]})
+                print(rows[-1])
+            except Exception as e:  # keep sweeping like the reference
+                print({"img_size": s, "error": str(e)})
+        print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
