@@ -60,17 +60,26 @@ def main():
                           top_k=1024 if a.quick else 4096)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
-    ir = jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
+    n_inputs = 4  # rotate inputs so no runtime-level memoization can hide work
+    imgs = [jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
+            for _ in range(n_inputs)]
+    irs = [jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
+           for _ in range(n_inputs)]
 
-    dets, valid, _ = step(variables, img, ir)  # compile
-    jax.block_until_ready(dets)
+    dets, valid, _ = step(variables, imgs[0], irs[0])  # compile
+    np.asarray(dets)  # materialize on host
 
+    # timed loop: every iteration's output feeds a running checksum that is
+    # fetched to host at the end, so async dispatch can't fake completion
     t0 = time.perf_counter()
-    for _ in range(iters):
-        dets, valid, _ = step(variables, img, ir)
-    jax.block_until_ready(dets)
+    acc = 0.0
+    for i in range(iters):
+        dets, valid, _ = step(variables, imgs[i % n_inputs],
+                              irs[i % n_inputs])
+        acc = acc + dets.sum()
+    acc_host = float(acc)
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc_host)
 
     n_chips = jax.device_count()
     ips_per_chip = batch * iters / dt / n_chips

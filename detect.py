@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Inference CLI: run a detector over images / folders / videos.
+
+Covers the reference inference-source surface (LoadImages for files and
+video, /root/reference/basics/utils/datasets.py:150-237) with device-side
+letterbox + jitted forward + on-device NMS, drawing results or emitting
+YOLO-format txts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+IMG_EXT = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
+VID_EXT = {".mp4", ".avi", ".mov", ".mkv"}
+
+
+def iter_sources(source: str):
+    """Yield (name, rgb uint8 HWC) frames from file/folder/video."""
+    p = Path(source)
+    files = sorted(p.glob("*")) if p.is_dir() else [p]
+    for f in files:
+        if f.suffix.lower() in IMG_EXT:
+            from sodt_tpu.data.vedai import _read_image
+            yield str(f), _read_image(str(f))
+        elif f.suffix.lower() in VID_EXT:
+            import cv2
+            cap = cv2.VideoCapture(str(f))
+            i = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                yield f"{f}#{i}", frame[..., ::-1].copy()
+                i += 1
+            cap.release()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--source", required=True,
+                    help="image / folder / video path")
+    ap.add_argument("--cfg", default="configs/model.yaml")
+    ap.add_argument("--weights", default="")
+    ap.add_argument("--data", default="configs/data_vedai.yaml")
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--conf-thres", type=float, default=0.25)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--input_mode", default="RGB")
+    ap.add_argument("--save-dir", default="runs/detect/exp")
+    ap.add_argument("--save-txt", action="store_true")
+    ap.add_argument("--save-img", action="store_true")
+    ap.add_argument("--platform", default="")
+    ap.add_argument("--no-bf16", action="store_false", dest="bf16")
+    a = ap.parse_args(argv)
+
+    import jax
+    if a.platform:
+        jax.config.update("jax_platforms", a.platform)
+    import jax.numpy as jnp
+    import yaml
+    from sodt_tpu.models import build_model
+    from sodt_tpu.ops.letterbox import letterbox_image, letterbox_params
+    from sodt_tpu.ops.boxes import scale_coords
+    from sodt_tpu.train.evaluate import make_eval_step
+    from sodt_tpu.train.checkpoint import load_checkpoint, eval_variables
+
+    with open(a.data) as f:
+        data_cfg = yaml.safe_load(f)
+    nc = int(data_cfg.get("nc", 8))
+    names = data_cfg.get("names", [str(i) for i in range(nc)])
+    ch_in = {"RGB": 3, "IR": 3, "RGB+IR": 4}[a.input_mode]
+    dtype = jnp.bfloat16 if a.bf16 else jnp.float32
+    model = build_model(a.cfg, ch_in=ch_in, nc=nc, dtype=dtype,
+                        input_mode=a.input_mode)
+    if a.weights:
+        variables = eval_variables(load_checkpoint(a.weights))
+    else:
+        x0 = jnp.zeros((1, a.img_size, a.img_size, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+
+    step = make_eval_step(model, conf_thres=a.conf_thres,
+                          iou_thres=a.iou_thres, multi_label=False)
+    save_dir = Path(a.save_dir)
+    (save_dir / "labels").mkdir(parents=True, exist_ok=True)
+
+    results = []
+    for name, rgb in iter_sources(a.source):
+        h0, w0 = rgb.shape[:2]
+        img = letterbox_image(jnp.asarray(rgb, jnp.float32), a.img_size,
+                              scaleup=True) / 255.0
+        dets, valid, _ = step(variables, img[None], img[None])
+        d = np.asarray(dets[0])[np.asarray(valid[0])]
+        if d.shape[0]:
+            d[:, :4] = np.asarray(scale_coords(
+                (a.img_size, a.img_size), jnp.asarray(d[:, :4]), (h0, w0)))
+        results.append({"source": name, "n": int(d.shape[0])})
+        print(f"{name}: {d.shape[0]} detections")
+        stem = Path(name.split('#')[0]).stem + (
+            "_" + name.split('#')[1] if "#" in name else "")
+        if a.save_txt:
+            with open(save_dir / "labels" / f"{stem}.txt", "w") as f:
+                for x1, y1, x2, y2, conf, cls in d:
+                    cx, cy = (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0
+                    bw, bh = (x2 - x1) / w0, (y2 - y1) / h0
+                    f.write(f"{int(cls)} {cx:.6f} {cy:.6f} {bw:.6f} "
+                            f"{bh:.6f} {conf:.4f}\n")
+        if a.save_img:
+            from sodt_tpu.utils.plots import plot_images
+            t = np.zeros((1, max(d.shape[0], 1), 5), np.float32)
+            m = np.zeros((1, max(d.shape[0], 1)), bool)
+            for i, (x1, y1, x2, y2, conf, cls) in enumerate(d):
+                t[0, i] = [cls, (x1 + x2) / 2 / w0, (y1 + y2) / 2 / h0,
+                           (x2 - x1) / w0, (y2 - y1) / h0]
+                m[0, i] = True
+            plot_images(rgb[None].astype(np.float32) / 255.0, t, m,
+                        save_dir / f"{stem}.png", names)
+    print(json.dumps({"images": len(results),
+                      "detections": sum(r["n"] for r in results)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,9 @@ from .optim import make_optimizer
 from .state import TrainState, make_train_step
 from .evaluate import evaluate, fitness_from_metrics
 from .checkpoint import save_checkpoint, load_checkpoint, eval_variables
+from .optim import lr_schedules
+from ..utils.loggers import RunLogger
+from ..utils.plots import plot_results, plot_labels
 
 NOMINAL_BATCH = 64  # reference nbs (Train.py:124)
 
@@ -145,6 +148,16 @@ def train(tc: TrainConfig) -> dict:
           f"{len(mesh.devices.ravel())} device(s), nb={nb}/epoch, "
           f"accumulate={accumulate}")
 
+    logger = RunLogger(save_dir, config=dataclasses.asdict(tc))
+    lr_w, lr_b, mom_s, _ = lr_schedules(hyp, tc.epochs, nb,
+                                        linear_lr=tc.linear_lr,
+                                        accumulate=accumulate)
+    try:
+        all_labels = np.concatenate([l for l in train_ds.labels if len(l)])
+        plot_labels(all_labels, save_dir, nc)
+    except Exception:
+        pass
+
     results_file = save_dir / "results.txt"
     batches = make_train_batches(
         train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
@@ -181,6 +194,11 @@ def train(tc: TrainConfig) -> dict:
             line += (f" mAP50={m['map50']:.4f} mAP={m['map']:.4f} "
                      f"fit={fit:.4f}")
             metrics_out = m
+            opt_step = int(state.step) // accumulate
+            logger.log_epoch(epoch, mean_losses, m,
+                             lrs=(float(lr_w(opt_step)),
+                                  float(lr_w(opt_step)),
+                                  float(lr_b(opt_step))))
             save_checkpoint(save_dir / "last", state, epoch=epoch,
                             best_fitness=best_fitness)
             if fit > best_fitness:
@@ -191,6 +209,11 @@ def train(tc: TrainConfig) -> dict:
         with open(results_file, "a") as f:
             f.write(line + "\n")
 
+    logger.close()
+    try:
+        plot_results(save_dir / "events.jsonl", save_dir / "results.png")
+    except Exception:
+        pass
     metrics_out["train_time_s"] = time.time() - t_start
     metrics_out["best_fitness"] = best_fitness
     return metrics_out

@@ -1,0 +1,127 @@
+"""Auxiliary subsystems: TTA, WBF, loggers, plots, checkpointing."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sodt_tpu.models import build_model
+from sodt_tpu.train.tta import scale_img, tta_forward
+from sodt_tpu.ops.wbf import weighted_boxes_fusion, weighted_boxes
+
+TINY = str(Path(__file__).parent / "tiny.yaml")
+
+
+def test_scale_img_pads_to_stride():
+    x = jnp.zeros((1, 64, 64, 3))
+    y = scale_img(x, 0.83, gs=32)
+    assert y.shape[1] % 32 == 0 and y.shape[2] % 32 == 0
+    assert y.shape[1] >= int(64 * 0.83)
+    # identity fast path
+    assert scale_img(x, 1.0).shape == x.shape
+
+
+def test_tta_forward_shapes():
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    y = tta_forward(model, variables, x, x, gs=4)
+    assert y.ndim == 3 and y.shape[0] == 1 and y.shape[2] == 8
+    assert bool(jnp.isfinite(y).all())
+
+
+def test_wbf_merges_overlapping():
+    boxes = np.array([[0.1, 0.1, 0.3, 0.3],
+                      [0.11, 0.1, 0.31, 0.3],
+                      [0.6, 0.6, 0.8, 0.8]])
+    scores = np.array([0.9, 0.8, 0.7])
+    labels = np.array([0.0, 0.0, 0.0])
+    b, s, l = weighted_boxes_fusion(boxes, scores, labels, iou_thr=0.5)
+    assert b.shape[0] == 2
+    # fused box is the confidence-weighted mean of the pair
+    expect = (boxes[0] * 0.9 + boxes[1] * 0.8) / 1.7
+    np.testing.assert_allclose(b[0], expect, atol=1e-6)
+
+
+def test_wbf_classes_separate():
+    boxes = np.tile(np.array([[0.1, 0.1, 0.3, 0.3]]), (2, 1))
+    b, s, l = weighted_boxes_fusion(boxes, np.array([0.9, 0.8]),
+                                    np.array([0.0, 1.0]), iou_thr=0.5)
+    assert b.shape[0] == 2
+
+
+def test_weighted_boxes_pixel_interface():
+    dets = np.array([[10, 10, 30, 30, 0.9, 0],
+                     [11, 10, 31, 30, 0.8, 0]], float)
+    out = weighted_boxes(dets, image_size=512)
+    assert out.shape == (1, 6)
+
+
+def test_run_logger_jsonl(tmp_path):
+    from sodt_tpu.utils.loggers import RunLogger
+    lg = RunLogger(tmp_path, use_tb=False)
+    lg.log_epoch(0, {"box": 0.1, "obj": 0.2, "cls": 0.3},
+                 {"mp": 0.5, "mr": 0.6, "map50": 0.7, "map": 0.4},
+                 lrs=(0.01, 0.01, 0.1))
+    lg.close()
+    rows = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
+    assert rows[0]["metrics/mAP_0.5"] == 0.7
+    assert rows[0]["x/lr2"] == 0.1
+
+
+def test_plots_smoke(tmp_path):
+    from sodt_tpu.utils.plots import (plot_images, plot_confusion_matrix,
+                                      plot_labels, plot_results)
+    imgs = np.random.default_rng(0).uniform(size=(2, 32, 32, 3))
+    targets = np.zeros((2, 3, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.2, 0.2]
+    masks = np.zeros((2, 3), bool)
+    masks[:, 0] = True
+    plot_images(imgs, targets, masks, tmp_path / "batch.png",
+                names=["a", "b", "c"])
+    assert (tmp_path / "batch.png").exists()
+
+    plot_confusion_matrix(np.random.default_rng(0).uniform(size=(4, 4)),
+                          tmp_path / "cm.png", names=["a", "b", "c"])
+    assert (tmp_path / "cm.png").exists()
+
+    labels = np.concatenate([targets[0], targets[1]])
+    plot_labels(labels, tmp_path, nc=3)
+    assert (tmp_path / "labels.png").exists()
+
+    with open(tmp_path / "ev.jsonl", "w") as f:
+        f.write(json.dumps({"t": 0, "step": 0, "a": 1.0, "b": 2.0}) + "\n")
+        f.write(json.dumps({"t": 1, "step": 1, "a": 0.5, "b": 1.0}) + "\n")
+    plot_results(tmp_path / "ev.jsonl", tmp_path / "res.png")
+    assert (tmp_path / "res.png").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sodt_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                           eval_variables, strip_checkpoint)
+    from sodt_tpu.train.state import TrainState
+    from sodt_tpu.train.optim import make_optimizer
+
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    hyp = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.9}
+    tx = make_optimizer(hyp, variables["params"], epochs=2, nb=1)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    save_checkpoint(tmp_path / "last", state, epoch=3, best_fitness=0.5)
+    ckpt = load_checkpoint(tmp_path / "last")
+    assert int(ckpt["epoch"]) == 3
+    assert float(ckpt["best_fitness"]) == 0.5
+    ev = eval_variables(ckpt)
+    leaves_a = jax.tree.leaves(ev["params"])
+    leaves_b = jax.tree.leaves(state.ema_params)
+    np.testing.assert_allclose(np.asarray(leaves_a[0]),
+                               np.asarray(leaves_b[0]))
+    strip_checkpoint(tmp_path / "last", tmp_path / "final")
+    final = load_checkpoint(tmp_path / "final")
+    assert "params" in final and "batch_stats" in final
+    assert "ema_params" not in final
