@@ -46,6 +46,7 @@ class ImageEncoderViT(nn.Module):
     qkv_bias: bool = True
     use_abs_pos: bool = True
     chan_embed_dim: int = 48
+    mono: bool = False  # backbone_vit_mono.py variant: plain RGB patch embed
     dtype: DType = jnp.float32
 
     @nn.compact
@@ -54,26 +55,34 @@ class ImageEncoderViT(nn.Module):
         ps = self.patch_size
         ce = self.chan_embed_dim
 
-        # per-channel patch embedding (1 -> 48ch each, stride 4)
-        def chan_embed(name, pad):
-            return PatchEmbed(ce, kernel=(ps, ps), stride=(4, 4),
-                              padding=pad, dtype=self.dtype, name=name)
+        if self.mono:
+            # RGB-only variant (backbone_vit_mono.py:51-57): one patch embed
+            # at stride patch_size, no cross-channel attention
+            x = PatchEmbed(self.embed_dim, kernel=(ps, ps), stride=(ps, ps),
+                           padding=(0, 0), dtype=self.dtype,
+                           name="patch_embed")(x)
+        else:
+            # per-channel patch embedding (1 -> 48ch each, stride 4)
+            def chan_embed(name, pad):
+                return PatchEmbed(ce, kernel=(ps, ps), stride=(4, 4),
+                                  padding=pad, dtype=self.dtype, name=name)
 
-        r = chan_embed("channel_embed_r", (1, 1))(x[..., 0:1])
-        g = chan_embed("channel_embed_g", (0, 0))(x[..., 1:2])
-        b = chan_embed("channel_embed_b", (0, 0))(x[..., 2:3])
-        ir = chan_embed("channel_embed_i", (0, 0))(x[..., 3:4])
-        # the (1,1)-padded R map is one row/col larger at some sizes; the
-        # reference relies on size-512/stride-4 making them equal — assert it
-        assert r.shape == g.shape, (r.shape, g.shape)
+            r = chan_embed("channel_embed_r", (1, 1))(x[..., 0:1])
+            g = chan_embed("channel_embed_g", (0, 0))(x[..., 1:2])
+            b = chan_embed("channel_embed_b", (0, 0))(x[..., 2:3])
+            ir = chan_embed("channel_embed_i", (0, 0))(x[..., 3:4])
+            # the (1,1)-padded R map is one row/col larger at some sizes;
+            # the reference relies on size-512/stride-4 equality — assert it
+            assert r.shape == g.shape, (r.shape, g.shape)
 
-        r, g, b, ir = CAttentionBlock(
-            embedding_dim=ce, num_heads=self.num_heads, dtype=self.dtype,
-            name="chan_block")(r, g, b, ir)
-        x = jnp.concatenate([r, g, b, ir], axis=-1)  # (B, H/4, W/4, 192)
+            r, g, b, ir = CAttentionBlock(
+                embedding_dim=ce, num_heads=self.num_heads, dtype=self.dtype,
+                name="chan_block")(r, g, b, ir)
+            x = jnp.concatenate([r, g, b, ir], axis=-1)  # (B, H/4, W/4, 192)
 
-        x = PatchEmbed(self.embed_dim, kernel=(1, 1), stride=(1, 1),
-                       padding=(0, 0), dtype=self.dtype, name="patch_embed")(x)
+            x = PatchEmbed(self.embed_dim, kernel=(1, 1), stride=(1, 1),
+                           padding=(0, 0), dtype=self.dtype,
+                           name="patch_embed")(x)
         bsz, h, w, c = x.shape
 
         if self.use_abs_pos:

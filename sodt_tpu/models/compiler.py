@@ -38,6 +38,7 @@ import yaml
 
 from . import layers as L
 from .backbone import ImageEncoderViT
+from .swinv2 import ImageEncoderSwinV2
 
 # modules whose first arg is the output channel count and take width scaling
 _CONV_FAMILY = {
@@ -190,8 +191,10 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
     head_defs = d["head"]
     steam_defs = d.get("steam", [])
 
+    SPLIT_BACKBONES = ("ImageEncoderViT", "ImageEncoderViTMono",
+                       "ImageEncoderSwinV2")
     split = (len(backbone_defs) == 1
-             and backbone_defs[0][2] == "ImageEncoderViT")
+             and backbone_defs[0][2] in SPLIT_BACKBONES)
 
     steam_layers: tuple = ()
     if steam_defs:
@@ -200,6 +203,7 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
         steam_layers = tuple(steam_list)
 
     if split:
+        enc_name = backbone_defs[0][2]
         args = list(backbone_defs[0][3])
         if len(args) == 6:
             # [img_size, ?, embed_dim, in_chans, out_chans, window_size]
@@ -214,15 +218,22 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
                             embed_dim=192, in_chans=args[2],
                             out_chans=args[3], window_size=args[4])
         else:
-            raise ValueError(f"bad ImageEncoderViT args {args}")
-        backbone = (LayerDef(0, (-1,), "ImageEncoderViT",
-                             tuple(sorted(enc_args.items())), 1,
-                             enc_args["out_chans"], 4.0),)
+            raise ValueError(f"bad {enc_name} args {args}")
         oc = enc_args["out_chans"]
-        # y seeds: P3, P4, P5 with strides 4/8/16 (reference stride [4.]
-        # hardcode covers P3, model.py:130; P4/P5 follow the pyramid)
-        ch = [oc, oc, 2 * oc]
-        strides = [4.0, 8.0, 16.0]
+        if enc_name == "ImageEncoderSwinV2":
+            # fixed necks + tap strides of the V2 variant
+            # (backbone_swinv2.py:161-179,210-224)
+            enc_args["embed_dim"] = 96
+            ch = [128, 256, 512]
+            strides = [4.0, 16.0, 32.0]
+        else:
+            # y seeds: P3, P4, P5 with strides 4/8/16 (reference stride [4.]
+            # hardcode covers P3, model.py:130; P4/P5 follow the pyramid)
+            ch = [oc, oc, 2 * oc]
+            strides = [4.0, 8.0, 16.0]
+        backbone = (LayerDef(0, (-1,), enc_name,
+                             tuple(sorted(enc_args.items())), 1, ch[0],
+                             strides[0]),)
         head, save, detect = _parse_section(head_defs, ch, strides, gd, gw,
                                             no, start=3)
         save |= {0, 1, 2}
@@ -340,6 +351,17 @@ def _encoder(ld, dt):
     return ImageEncoderViT(dtype=dt, name=f"l{ld.i}", **kw)
 
 
+def _encoder_mono(ld, dt):
+    kw = dict(ld.args)
+    return ImageEncoderViT(dtype=dt, mono=True, name=f"l{ld.i}", **kw)
+
+
+def _encoder_swinv2(ld, dt):
+    kw = dict(ld.args)
+    kw.pop("out_chans", None)  # necks are fixed in the V2 variant
+    return ImageEncoderSwinV2(dtype=dt, name=f"l{ld.i}", **kw)
+
+
 def _contract(ld, dt):
     return L.Contract(gain=ld.args[0], name=f"l{ld.i}")
 
@@ -392,6 +414,8 @@ MODULE_REGISTRY = {
     "Upsample": _upsample,
     "MF": _mf,
     "ImageEncoderViT": _encoder,
+    "ImageEncoderViTMono": _encoder_mono,
+    "ImageEncoderSwinV2": _encoder_swinv2,
     "Contract": _contract,
     "Expand": _expand,
     "AttentionModel": _attention_model,

@@ -218,3 +218,32 @@ def test_patch_embed_parity(ref):
                        "bias": t2j(te.proj.bias)}}
     out = ours.apply({"params": params}, t2j(x.permute(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)
+
+
+def test_swinv2_window_attention_parity(ref):
+    import importlib
+    refv2 = importlib.import_module("basics.models.backbone_swinv2")
+    from sodt_tpu.models.swinv2 import WindowAttentionV2
+
+    torch.manual_seed(7)
+    dim, ws, nh = 24, 4, 4
+    ta = refv2.WindowAttention(dim, (ws, ws), nh,
+                               pretrained_window_size=[8, 8]).eval()
+    x = torch.randn(6, ws * ws, dim)
+    with torch.no_grad():
+        ref_out = ta(x).numpy()
+
+    ours = WindowAttentionV2(dim=dim, window_size=ws, num_heads=nh,
+                             pretrained_window_size=8)
+    params = {
+        "logit_scale": t2j(ta.logit_scale),
+        "cpb_mlp0": {"kernel": lin_w(ta.cpb_mlp[0].weight),
+                     "bias": t2j(ta.cpb_mlp[0].bias)},
+        "cpb_mlp1": {"kernel": lin_w(ta.cpb_mlp[2].weight)},
+        "qkv": {"kernel": lin_w(ta.qkv.weight)},
+        "q_bias": t2j(ta.q_bias),
+        "v_bias": t2j(ta.v_bias),
+        "proj": {"kernel": lin_w(ta.proj.weight), "bias": t2j(ta.proj.bias)},
+    }
+    out = ours.apply({"params": params}, t2j(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
