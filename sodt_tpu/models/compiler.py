@@ -396,6 +396,12 @@ def _mixconv(ld, dt):
     return L.MixConv2d(c2, dtype=dt, name=f"l{ld.i}")
 
 
+def _acmix(ld, dt):
+    c2, *rest = ld.args
+    s = rest[1] if len(rest) > 1 else 1
+    return L.ACmix(c2, s=s, dtype=dt, name=f"l{ld.i}")
+
+
 def _concat(ld, dt):
     return L.Concat(name=f"l{ld.i}")
 
@@ -423,6 +429,7 @@ MODULE_REGISTRY = {
     "GhostBottleneck": _ghostbottleneck,
     "CrossConv": _crossconv,
     "MixConv2d": _mixconv,
+    "ACmix": _acmix,
 }
 
 

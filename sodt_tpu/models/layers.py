@@ -478,3 +478,95 @@ class Concat(nn.Module):
     @nn.compact
     def __call__(self, xs, train: bool = False):
         return jnp.concatenate(xs, axis=-1)
+
+
+class ACmix(nn.Module):
+    """Mixed local-attention + shared-projection conv operator
+    (common.py:485-561, ACmix paper). NHWC.
+
+    Shares q/k/v 1x1 projections between (a) kernel_att-neighborhood local
+    attention with a learned 2ch->head_dim positional encoding and (b) a
+    depthwise conv branch fed by a 1x1 'fc' over stacked q/k/v heads;
+    learnable mixing rates initialized to 0.5 each.
+    """
+
+    c2: int
+    kernel_att: int = 7
+    head: int = 4
+    kernel_conv: int = 3
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c1 = x.shape
+        co = self.c2
+        hd = co // self.head
+        ka = self.kernel_att
+        pad = (ka - 1 + 1) // 2
+
+        q = nn.Conv(co, (1, 1), dtype=self.dtype, name="conv1")(x)
+        k = nn.Conv(co, (1, 1), dtype=self.dtype, name="conv2")(x)
+        v = nn.Conv(co, (1, 1), dtype=self.dtype, name="conv3")(x)
+
+        # positional encoding (common.py:461-469): 2ch coordinate map
+        loc_w = jnp.linspace(-1.0, 1.0, w)[None, :].repeat(h, axis=0)
+        loc_h = jnp.linspace(-1.0, 1.0, h)[:, None].repeat(w, axis=1)
+        pe_in = jnp.stack([loc_w, loc_h], axis=-1)[None]  # (1, h, w, 2)
+        pe = nn.Conv(hd, (1, 1), dtype=self.dtype, name="conv_p")(pe_in)
+
+        scaling = float(hd) ** -0.5
+        h_out, w_out = h // self.s, w // self.s
+
+        def heads(t):  # (b, h, w, head*hd) -> (b*head, h, w, hd)
+            t = t.reshape(b, h, w, self.head, hd)
+            return t.transpose(0, 3, 1, 2, 4).reshape(b * self.head, h, w, hd)
+
+        q_att = heads(q) * scaling
+        k_att = heads(k)
+        v_att = heads(v)
+        if self.s > 1:
+            q_att = q_att[:, ::self.s, ::self.s]
+            q_pe = pe[:, ::self.s, ::self.s]
+        else:
+            q_pe = pe
+
+        def unfold(t):  # reflect-pad then extract ka x ka patches
+            t = jnp.pad(t, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
+            # NCHW patches: (B, C*ka*ka, H', W') with C slowest
+            tn = t.transpose(0, 3, 1, 2)
+            p = jax.lax.conv_general_dilated_patches(
+                tn, (ka, ka), (self.s, self.s), "VALID")
+            bb = t.shape[0]
+            return p.reshape(bb, hd, ka * ka, h_out, w_out)
+
+        unfold_k = unfold(k_att)
+        unfold_rpe = unfold(pe)
+        q_att_n = q_att.transpose(0, 3, 1, 2)[:, :, None]      # (B*hd,hd,1,h,w)
+        q_pe_n = q_pe.transpose(0, 3, 1, 2)[:, :, None]
+        att = (q_att_n * (unfold_k + q_pe_n - unfold_rpe)).sum(1)
+        att = jax.nn.softmax(att, axis=1)                      # over ka^2
+        out_att = (att[:, None] * unfold(v_att)).sum(2)        # (B*h, hd, ho, wo)
+        out_att = out_att.reshape(b, self.head, hd, h_out, w_out)
+        out_att = out_att.transpose(0, 3, 4, 1, 2).reshape(b, h_out, w_out, co)
+
+        # conv branch: fc over stacked q/k/v head maps -> depthwise conv
+        def head_stack(t):  # (b, h, w, co) -> (b, h*w, head)
+            return t.reshape(b, h * w, self.head, hd)
+        f_all = jnp.concatenate([head_stack(q), head_stack(k),
+                                 head_stack(v)], axis=2)       # (b,hw,3head,hd)
+        f_all = f_all.transpose(0, 1, 3, 2).reshape(b, h * w, hd, 3 * self.head)
+        f_fc = nn.Dense(self.kernel_conv ** 2, use_bias=False,
+                        dtype=self.dtype, name="fc")(f_all)    # (b,hw,hd,k^2)
+        f_conv = f_fc.reshape(b, h, w, hd * self.kernel_conv ** 2)
+        pc = self.kernel_conv // 2
+        out_conv = nn.Conv(co, (self.kernel_conv, self.kernel_conv),
+                           strides=(self.s, self.s),
+                           padding=[(pc, pc), (pc, pc)],
+                           feature_group_count=hd, use_bias=True,
+                           dtype=self.dtype, name="dep_conv")(f_conv)
+
+        rate1 = self.param("rate1", lambda k_, s_: jnp.full(s_, 0.5), (1,))
+        rate2 = self.param("rate2", lambda k_, s_: jnp.full(s_, 0.5), (1,))
+        return rate1 * out_att + rate2 * out_conv

@@ -40,8 +40,18 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
 
     @jax.jit
     def step(variables, img, ir, targets=None, tmask=None):
-        out = model.apply(variables, img, ir, train=False)
-        pred = decode_detections(out["raw"], anchors, strides)
+        # a list/tuple of variable trees = NMS ensemble (reference
+        # attempt_load + Ensemble, experimental.py:98-135): per-model
+        # decoded predictions concatenated before one NMS pass
+        vs = (variables if isinstance(variables, (list, tuple))
+              else [variables])
+        preds = []
+        out = None
+        for v in vs:
+            out = model.apply(v, img, ir, train=False)
+            preds.append(decode_detections(out["raw"], anchors, strides))
+        pred = (preds[0] if len(preds) == 1
+                else jnp.concatenate(preds, axis=1))
         dets, valid = batched_nms(
             pred, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=multi_label, max_det=max_det, top_k=top_k,

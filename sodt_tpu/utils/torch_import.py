@@ -1,0 +1,106 @@
+"""Import reference PyTorch weights into sodt_tpu param pytrees.
+
+The reference checkpoints pickle whole nn.Modules (Train.py:531-532), whose
+state_dicts use the module names of /root/reference/basics/models/*.py. This
+maps those names onto our flax trees so reference-trained weights can be
+evaluated here (parity checks, BASELINE.md bit-comparability).
+
+Layout rules:
+  torch Linear  (out, in)        -> Dense kernel (in, out)          [transpose]
+  torch Conv2d  (out, in, kh, kw)-> Conv kernel (kh, kw, in, out)
+  torch LayerNorm weight/bias    -> scale/bias
+  torch BatchNorm w/b/mean/var   -> params.scale/bias + batch_stats.mean/var
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _lin(w):
+    return np.asarray(w).T
+
+
+def _conv(w):
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def set_in(tree: dict, path: list[str], value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def import_image_encoder(state_dict: dict[str, Any]):
+    """Reference ImageEncoderViT state_dict -> (params, ()) for our
+    models.backbone.ImageEncoderViT (name mapping documented inline)."""
+    params: dict = {}
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in state_dict.items()}
+
+    def put(path, value):
+        set_in(params, path.split("/"), value)
+
+    for ch in ("r", "g", "b", "i"):
+        put(f"channel_embed_{ch}/proj/kernel",
+            _conv(sd[f"channel_embed_{ch}.proj.weight"]))
+        put(f"channel_embed_{ch}/proj/bias",
+            sd[f"channel_embed_{ch}.proj.bias"])
+
+    for i in range(1, 5):
+        put(f"chan_block/norm{i}/scale", sd[f"chan_block.norm{i}.weight"])
+        put(f"chan_block/norm{i}/bias", sd[f"chan_block.norm{i}.bias"])
+
+    put("patch_embed/proj/kernel", _conv(sd["patch_embed.proj.weight"]))
+    put("patch_embed/proj/bias", sd["patch_embed.proj.bias"])
+    if "pos_embed" in sd:
+        put("pos_embed", sd["pos_embed"])
+
+    def swin_block(src: str, dst: str, conv_mlp: bool):
+        put(f"{dst}/norm1/scale", sd[f"{src}.norm1.weight"])
+        put(f"{dst}/norm1/bias", sd[f"{src}.norm1.bias"])
+        put(f"{dst}/norm2/scale", sd[f"{src}.norm2.weight"])
+        put(f"{dst}/norm2/bias", sd[f"{src}.norm2.bias"])
+        put(f"{dst}/attn/relative_position_bias_table",
+            sd[f"{src}.attn.relative_position_bias_table"])
+        put(f"{dst}/attn/qkv/kernel", _lin(sd[f"{src}.attn.qkv.weight"]))
+        put(f"{dst}/attn/qkv/bias", sd[f"{src}.attn.qkv.bias"])
+        put(f"{dst}/attn/proj/kernel", _lin(sd[f"{src}.attn.proj.weight"]))
+        put(f"{dst}/attn/proj/bias", sd[f"{src}.attn.proj.bias"])
+        put(f"{dst}/mlp/fc1/kernel", _lin(sd[f"{src}.mlp.fc1.weight"]))
+        put(f"{dst}/mlp/fc1/bias", sd[f"{src}.mlp.fc1.bias"])
+        put(f"{dst}/mlp/fc2/kernel", _lin(sd[f"{src}.mlp.fc2.weight"]))
+        put(f"{dst}/mlp/fc2/bias", sd[f"{src}.mlp.fc2.bias"])
+        if conv_mlp:
+            put(f"{dst}/mlp/conv1/kernel", _conv(sd[f"{src}.mlp.conv1.weight"]))
+            put(f"{dst}/mlp/conv1/bias", sd[f"{src}.mlp.conv1.bias"])
+
+    shifts = (0, 2, 0, 2, 0, 2)
+    for i in range(6):
+        swin_block(f"stage1.{i}", f"stage1_{i}", conv_mlp=shifts[i] != 0)
+    for i in range(4):
+        swin_block(f"stage2.{i}", f"stage2_{i}", conv_mlp=shifts[i] != 0)
+    swin_block("stage3.0", "stage3_0", conv_mlp=False)
+
+    for pm in ("pmerging1", "pmerging2"):
+        put(f"{pm}/reduction/kernel", _lin(sd[f"{pm}.reduction.weight"]))
+        put(f"{pm}/norm/scale", sd[f"{pm}.norm.weight"])
+        put(f"{pm}/norm/bias", sd[f"{pm}.norm.bias"])
+
+    for neck in ("neck1", "neck2", "neck3"):
+        put(f"{neck}/kernel", _conv(sd[f"{neck}.weight"]))
+
+    return params
+
+
+def import_conv_bn(sd: dict, src: str, params: dict, stats: dict, dst: str):
+    """Reference `Conv` (conv+bn) -> our ConvBnAct params + batch_stats."""
+    set_in(params, f"{dst}/conv/kernel".split("/"), _conv(sd[f"{src}.conv.weight"]))
+    set_in(params, f"{dst}/bn/scale".split("/"), sd[f"{src}.bn.weight"])
+    set_in(params, f"{dst}/bn/bias".split("/"), sd[f"{src}.bn.bias"])
+    set_in(stats, f"{dst}/bn/mean".split("/"), sd[f"{src}.bn.running_mean"])
+    set_in(stats, f"{dst}/bn/var".split("/"), sd[f"{src}.bn.running_var"])

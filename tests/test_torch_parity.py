@@ -247,3 +247,31 @@ def test_swinv2_window_attention_parity(ref):
     }
     out = ours.apply({"params": params}, t2j(x))
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+
+def test_full_encoder_parity(ref):
+    """End-to-end ImageEncoderViT parity: reference weights imported into
+    our flax encoder, same input, compare all three pyramid outputs.
+
+    Runs at img_size=512 (the reference hardcodes its stage resolutions to
+    128^2/64^2/32^2, backbone_vit.py:114-161, so no smaller size exists)."""
+    import jax
+    import jax.numpy as jnp
+    from sodt_tpu.models.backbone import ImageEncoderViT as OurEncoder
+    from sodt_tpu.utils.torch_import import import_image_encoder
+
+    torch.manual_seed(11)
+    tenc = ref.ImageEncoderViT(img_size=512, patch_size=4, embed_dim=192,
+                               in_chans=4, out_chans=256,
+                               window_size=4).eval()
+    x = torch.randn(1, 4, 512, 512)
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in tenc(x)]  # NCHW each
+
+    params = import_image_encoder(tenc.state_dict())
+    ours = OurEncoder(img_size=512, patch_size=4, embed_dim=192, in_chans=4,
+                      out_chans=256, window_size=4)
+    outs = ours.apply({"params": params}, t2j(x.permute(0, 2, 3, 1)))
+    for o, ro in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
+                                   atol=5e-4)

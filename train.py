@@ -44,6 +44,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--no-bf16", action="store_false", dest="bf16")
     p.add_argument("--resume", default="")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
+                   help="evolve hyperparameters for N generations")
     a = p.parse_args(argv)
     if a.platform:
         import jax
@@ -58,7 +60,25 @@ def parse_args(argv=None) -> TrainConfig:
                        resume=a.resume)
 
 
-if __name__ == "__main__":
-    metrics = train(parse_args())
+def _main():
+    import sys
+    argv = sys.argv[1:]
+    tc = parse_args(argv)
+    if "--evolve" in " ".join(argv):
+        import argparse
+        gens = 0
+        for i, a in enumerate(argv):
+            if a == "--evolve":
+                gens = int(argv[i + 1])
+        if gens > 0:
+            from sodt_tpu.train.evolve import evolve
+            best_hyp, best_fit = evolve(tc, generations=gens, seed=tc.seed)
+            print({"best_fitness": best_fit})
+            return
+    metrics = train(tc)
     print({k: v for k, v in metrics.items()
            if not isinstance(v, dict) or k == "val_loss"})
+
+
+if __name__ == "__main__":
+    _main()

@@ -35,7 +35,12 @@ def build(a, img_size: int):
     model = build_model(a.cfg, ch_in=ch_in, nc=nc, dtype=dtype,
                         input_mode=a.input_mode)
     if a.weights:
-        variables = eval_variables(load_checkpoint(a.weights))
+        paths = a.weights.split(",")
+        # multi-checkpoint NMS ensemble (reference attempt_load/Ensemble,
+        # experimental.py:98-135): predictions concatenated before NMS
+        variables = [eval_variables(load_checkpoint(p)) for p in paths]
+        if len(variables) == 1:
+            variables = variables[0]
     else:
         x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
