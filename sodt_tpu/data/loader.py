@@ -121,65 +121,134 @@ def make_augment_fn(s: int, hyp: dict, use_mixup: bool):
     return jax.jit(batched)
 
 
+def _step_indices(rng, order, start, batch_size, n, use_mixup):
+    """Tile index schedule for one step: (B, 4) primary + (B, 4) mixup."""
+    prim = np.empty((batch_size, 4), np.int64)
+    sec = np.empty((batch_size, 4), np.int64)
+    for bi in range(batch_size):
+        prim[bi, 0] = order[start + bi]
+        prim[bi, 1:] = rng.integers(n, size=3)
+        sec[bi] = rng.integers(n, size=4)
+    if not use_mixup:
+        sec = prim
+    return prim, sec
+
+
+class PyTileSource:
+    """Fetch stacked uint8 tiles via the python dataset (RAM-cached)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    def submit(self, flat_idx):
+        return flat_idx
+
+    def wait(self, flat_idx):
+        rgbs, irs = [], []
+        for j in flat_idx:
+            rgb, ir, _ = self.ds[int(j)]
+            rgbs.append(rgb)
+            irs.append(ir)
+        return np.stack(rgbs), np.stack(irs)
+
+
+class NativeTileSource:
+    """Fetch tiles through the C++ prefetch loader (GIL-free decode that
+    overlaps device compute)."""
+
+    def __init__(self, ds, img_size):
+        from .native_loader import NativeTileLoader
+        self.loader = NativeTileLoader(ds.img_files, ds.ir_files, img_size)
+
+    def submit(self, flat_idx):
+        return self.loader.submit(np.asarray(flat_idx, np.int32))
+
+    def wait(self, job):
+        return self.loader.wait(job)
+
+
+def _make_tile_source(dataset, img_size, prefer_native=True):
+    if prefer_native and hasattr(dataset, "img_files"):
+        try:
+            from .native_loader import available
+            if available():
+                return NativeTileSource(dataset, img_size)
+        except Exception:
+            pass
+    base = dataset.dataset if isinstance(dataset, RamCache) else dataset
+    return PyTileSource(RamCache(base))
+
+
 def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                        *, seed: int = 0, max_labels_per_image: int = 30,
                        epochs: int | None = None, cache: bool = True,
-                       mosaic: bool = True) -> Iterator[dict]:
-    """Infinite (or epochs-bounded) iterator of augmented device batches."""
-    ds = RamCache(dataset) if cache else dataset
-    n = len(ds)
+                       mosaic: bool = True,
+                       prefer_native: bool = True) -> Iterator[dict]:
+    """Infinite (or epochs-bounded) iterator of augmented device batches.
+
+    Pipelined: step s+1's tile decode is submitted to the tile source before
+    step s is yielded, so host decode overlaps device compute.
+    """
+    n = len(dataset)
+    labels = dataset.labels
     rng = np.random.default_rng(seed)
     use_mixup = hyp.get("mixup", 0.0) > 0
     aug = make_augment_fn(img_size, hyp, use_mixup)
     m0 = max_labels_per_image
+    src = _make_tile_source(dataset, img_size, prefer_native)
 
-    epoch = 0
+    def schedule():
+        """yield (prim, sec) index blocks forever (epoch-shuffled)."""
+        while True:
+            order = rng.permutation(n)
+            for start in range(0, n - batch_size + 1, batch_size):
+                yield _step_indices(rng, order, start, batch_size, n,
+                                    use_mixup)
+
+    def pack_labels(flat_idx):
+        labs = np.empty((len(flat_idx), m0, 5), np.float32)
+        msks = np.empty((len(flat_idx), m0), bool)
+        for i, j in enumerate(flat_idx):
+            labs[i], msks[i] = pad_labels(labels[int(j)], m0)
+        return labs, msks
+
+    sched = schedule()
+    steps_per_epoch = max(n // batch_size, 1)
+    total_steps = None if epochs is None else epochs * steps_per_epoch
+
+    prim, sec = next(sched)
+    flat = np.concatenate([prim.ravel(), sec.ravel()])
+    job = src.submit(flat)
     step = 0
-    while epochs is None or epoch < epochs:
-        order = rng.permutation(n)
-        for start in range(0, n - batch_size + 1, batch_size):
-            idx = order[start:start + batch_size]
-            tiles, irs, labs, msks = [], [], [], []
-            tiles2, irs2, labs2, msks2 = [], [], [], []
-            for i in idx:
-                def draw4(first_i=None):
-                    sel = [first_i if first_i is not None
-                           else int(rng.integers(n))]
-                    sel += [int(rng.integers(n)) for _ in range(3)]
-                    r4, i4, l4, m4 = [], [], [], []
-                    for j in sel:
-                        rgb, ir, lab = ds[j]
-                        pl, pm = pad_labels(lab, m0)
-                        r4.append(rgb)
-                        i4.append(ir)
-                        l4.append(pl)
-                        m4.append(pm)
-                    return (np.stack(r4), np.stack(i4), np.stack(l4),
-                            np.stack(m4))
-                a = draw4(int(i))
-                tiles.append(a[0]); irs.append(a[1])
-                labs.append(a[2]); msks.append(a[3])
-                if use_mixup:
-                    b = draw4()
-                    tiles2.append(b[0]); irs2.append(b[1])
-                    labs2.append(b[2]); msks2.append(b[3])
-                else:
-                    tiles2.append(a[0]); irs2.append(a[1])
-                    labs2.append(a[2]); msks2.append(a[3])
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-            keys = jax.random.split(key, batch_size)
-            img, ir, targets, tmask = aug(
-                jnp.asarray(np.stack(tiles), jnp.float32),
-                jnp.asarray(np.stack(irs), jnp.float32),
-                jnp.asarray(np.stack(labs)), jnp.asarray(np.stack(msks)),
-                jnp.asarray(np.stack(tiles2), jnp.float32),
-                jnp.asarray(np.stack(irs2), jnp.float32),
-                jnp.asarray(np.stack(labs2)), jnp.asarray(np.stack(msks2)),
-                keys)
-            yield {"img": img, "ir": ir, "targets": targets, "tmask": tmask,
-                   "epoch": epoch}
-            step += 1
-        epoch += 1
+    while total_steps is None or step < total_steps:
+        cur_flat = flat
+        rgb, ir = src.wait(job)
+        # pipeline: kick off the next step's decode immediately
+        prim_n, sec_n = next(sched)
+        flat = np.concatenate([prim_n.ravel(), sec_n.ravel()])
+        job = src.submit(flat)
+
+        labs, msks = pack_labels(cur_flat)
+        half = batch_size * 4
+        shape4 = (batch_size, 4, img_size, img_size, 3)
+        r1 = rgb[:half].reshape(shape4).astype(np.float32)
+        i1 = ir[:half].reshape(shape4).astype(np.float32)
+        r2 = rgb[half:].reshape(shape4).astype(np.float32)
+        i2 = ir[half:].reshape(shape4).astype(np.float32)
+        l1 = labs[:half].reshape(batch_size, 4, m0, 5)
+        k1 = msks[:half].reshape(batch_size, 4, m0)
+        l2 = labs[half:].reshape(batch_size, 4, m0, 5)
+        k2 = msks[half:].reshape(batch_size, 4, m0)
+
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        keys = jax.random.split(key, batch_size)
+        img, irr, targets, tmask = aug(
+            jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
+            jnp.asarray(k1), jnp.asarray(r2), jnp.asarray(i2),
+            jnp.asarray(l2), jnp.asarray(k2), keys)
+        yield {"img": img, "ir": irr, "targets": targets, "tmask": tmask,
+               "epoch": step // steps_per_epoch}
+        step += 1
 
 
 def make_eval_batches(dataset, batch_size: int, img_size: int,
