@@ -182,8 +182,10 @@ def _make_tile_source(dataset, img_size, prefer_native=True):
 def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                        *, seed: int = 0, max_labels_per_image: int = 30,
                        epochs: int | None = None, cache: bool = True,
-                       mosaic: bool = True,
-                       prefer_native: bool = True) -> Iterator[dict]:
+                       mosaic: bool = True, prefer_native: bool = True,
+                       sample_weights_fn=None,
+                       multi_scale: bool = False,
+                       multi_scale_buckets=(0.75, 1.0, 1.25)) -> Iterator[dict]:
     """Infinite (or epochs-bounded) iterator of augmented device batches.
 
     Pipelined: step s+1's tile decode is submitted to the tile source before
@@ -198,9 +200,16 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     src = _make_tile_source(dataset, img_size, prefer_native)
 
     def schedule():
-        """yield (prim, sec) index blocks forever (epoch-shuffled)."""
+        """yield (prim, sec) index blocks forever (epoch-shuffled, or
+        class-weighted when sample_weights_fn is set — the reference's
+        --image-weights resampling, Train.py:336-347)."""
         while True:
-            order = rng.permutation(n)
+            if sample_weights_fn is not None:
+                w = np.asarray(sample_weights_fn(), float)
+                w = w / w.sum()
+                order = rng.choice(n, size=n, p=w)
+            else:
+                order = rng.permutation(n)
             for start in range(0, n - batch_size + 1, batch_size):
                 yield _step_indices(rng, order, start, batch_size, n,
                                     use_mixup)
@@ -246,6 +255,17 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
             jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
             jnp.asarray(k1), jnp.asarray(r2), jnp.asarray(i2),
             jnp.asarray(l2), jnp.asarray(k2), keys)
+        if multi_scale:
+            # bucketed multi-scale (reference resizes every batch to a
+            # random /32-multiple in +/-50%, Train.py:396-402; fixed-shape
+            # jit wants a small static set instead)
+            f = multi_scale_buckets[int(rng.integers(len(multi_scale_buckets)))]
+            ns = int(round(img_size * f / 32) * 32)
+            if ns != img_size:
+                img = jax.image.resize(
+                    img, (img.shape[0], ns, ns, img.shape[-1]), "bilinear")
+                irr = jax.image.resize(
+                    irr, (irr.shape[0], ns, ns, irr.shape[-1]), "bilinear")
         yield {"img": img, "ir": irr, "targets": targets, "tmask": tmask,
                "epoch": step // steps_per_epoch}
         step += 1

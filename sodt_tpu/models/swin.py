@@ -111,17 +111,16 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        # (3, nh, B_, N, hd): heads/windows leading for the fused kernel
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 3, 0, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (nh, B_, N, hd)
+        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
 
         from ..pallas.window_attention import window_attention_core
         nw = mask.shape[0] if mask is not None else 1
         out = window_attention_core(
             q * scale, k, v, bias.astype(jnp.float32),
-            None if mask is None else mask, nw)   # (nh, B_, N, hd)
+            None if mask is None else mask, nw)   # (B_, nh, N, hd)
 
-        out = out.transpose(1, 2, 0, 3).reshape(b_, n, c)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

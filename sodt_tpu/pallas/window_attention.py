@@ -6,9 +6,11 @@ in HBM between the QK^T and PV matmuls — for the flagship stage-1 that is
 read+write softmax, read PV). This kernel keeps the whole
 scores -> +bias(+mask) -> softmax -> PV chain resident in VMEM per tile:
 
-  layout   q, k, v: (nh, W, N, hd)   — W = B * num_windows total windows
-  grid     (nh, W // G)              — G windows per program, G | num_windows
-  blocks   q/k/v (1, G, N, hd), bias (1, N, N) per head,
+  layout   q, k, v: (W, nh, N, hd)   — W = B * num_windows total windows
+           (the natural layout after the qkv projection reshape, so no
+           HBM-scrambling transposes are introduced around the kernel)
+  grid     (W // G, nh)              — G windows per program, G | num_windows
+  blocks   q/k/v (G, 1, N, hd), bias (1, N, N) per head,
            optional mask (G, N, N) selected by window position
   compute  per window-group batched dot_generals; f32 accumulation on the
            MXU; softmax in f32 in VMEM; output cast back to the input dtype
@@ -30,24 +32,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _reference_attention(q, k, v, bias, mask, nw: int):
-    """XLA reference: q,k,v (nh, W, N, hd); bias (nh, N, N);
+    """XLA reference: q,k,v (W, nh, N, hd); bias (nh, N, N);
     mask (nw, N, N) or None."""
-    nh, w, n, hd = q.shape
-    attn = jnp.einsum("hwnd,hwmd->hwnm", q, k,
+    w, nh, n, hd = q.shape
+    attn = jnp.einsum("whnd,whmd->whnm", q, k,
                       preferred_element_type=jnp.float32)
-    attn = attn + bias[:, None].astype(attn.dtype)
+    attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
-        attn = attn.reshape(nh, w // nw, nw, n, n)
-        attn = attn + jnp.asarray(mask, attn.dtype)[None, None]
-        attn = attn.reshape(nh, w, n, n)
+        attn = attn.reshape(w // nw, nw, nh, n, n)
+        attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+        attn = attn.reshape(w, nh, n, n)
     p = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    return jnp.einsum("hwnm,hwmd->hwnd", p, v)
+    return jnp.einsum("whnm,whmd->whnd", p, v)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-    q = q_ref[0].astype(jnp.float32)          # (G, N, hd)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[:, 0].astype(jnp.float32)       # (G, N, hd)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0]
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)    # (G, N, N)
@@ -56,13 +58,13 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[:, 0] = out.astype(out_ref.dtype)
 
 
 def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q = q_ref[:, 0].astype(jnp.float32)
+    k = k_ref[:, 0].astype(jnp.float32)
+    v = v_ref[:, 0]
     scores = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
@@ -71,7 +73,7 @@ def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
     out = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[:, 0] = out.astype(out_ref.dtype)
 
 
 def _pick_group(num_windows: int, n: int, hd: int) -> int:
@@ -84,15 +86,15 @@ def _pick_group(num_windows: int, n: int, hd: int) -> int:
 
 
 def _pallas_attention(q, k, v, bias, mask, nw: int):
-    nh, w, n, hd = q.shape
+    w, nh, n, hd = q.shape
     g = _pick_group(nw, n, hd)
-    grid = (nh, w // g)
+    grid = (w // g, nh)
 
-    qkv_spec = pl.BlockSpec((1, g, n, hd), lambda h, j: (h, j, 0, 0),
+    qkv_spec = pl.BlockSpec((g, 1, n, hd), lambda j, h: (j, h, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, n, n), lambda h, j: (h, 0, 0),
+    bias_spec = pl.BlockSpec((1, n, n), lambda j, h: (h, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, g, n, hd), lambda h, j: (h, j, 0, 0),
+    out_spec = pl.BlockSpec((g, 1, n, hd), lambda j, h: (j, h, 0, 0),
                             memory_space=pltpu.VMEM)
 
     if mask is None:
@@ -106,7 +108,7 @@ def _pallas_attention(q, k, v, bias, mask, nw: int):
 
     nblocks_per_img = nw // g
     mask_spec = pl.BlockSpec(
-        (g, n, n), lambda h, j: (j % nblocks_per_img, 0, 0),
+        (g, n, n), lambda j, h: (j % nblocks_per_img, 0, 0),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _kernel_masked,
@@ -119,8 +121,8 @@ def _pallas_attention(q, k, v, bias, mask, nw: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_window_attention(q, k, v, bias, mask, nw: int):
-    """Fused W-MSA core. q,k,v: (nh, W, N, hd); bias: (nh, N, N) f32;
-    mask: (nw, N, N) f32 or None; returns (nh, W, N, hd)."""
+    """Fused W-MSA core. q,k,v: (W, nh, N, hd); bias: (nh, N, N) f32;
+    mask: (nw, N, N) f32 or None; returns (W, nh, N, hd)."""
     return _pallas_attention(q, k, v, bias, mask, nw)
 
 

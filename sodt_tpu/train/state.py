@@ -48,27 +48,46 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
-                    sr_weight: float = 0.5, accumulate: int = 1):
+                    down_factor: int = 1, accumulate: int = 1):
     """Build the jittable train step for a DetectionModel.
 
     batch: dict with
       img   (B, H, W, 3) float in [0, 1]
       ir    (B, H, W, 3) float in [0, 1]
       targets (B, M, 5) [cls, cx, cy, w, h] normalized; tmask (B, M) bool
-      hr    optional (B, Hf, Wf, C) SR reconstruction target in [0, 1]
+
+    SR regime (reference Train.py:364-379,405-427): with down_factor > 1
+    the model consumes bilinear-downsampled inputs while the SR branch
+    reconstructs the ORIGINAL resolution; L1 weights are 0.5 for single
+    modality and 0.1 * (rgb + ir) for fused modes.
     """
 
     def loss_fn(params, batch_stats, batch):
+        img, ir = batch["img"], batch.get("ir")
+        img_in, ir_in = img, ir
+        if down_factor > 1:
+            b, h, w, c = img.shape
+            ns = (b, h // down_factor, w // down_factor, c)
+            img_in = jax.image.resize(img, ns, "bilinear")
+            ir_in = (jax.image.resize(ir, ns, "bilinear")
+                     if ir is not None else None)
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["img"], batch.get("ir"), train=True,
-            mutable=["batch_stats"])
+            img_in, ir_in, train=True, mutable=["batch_stats"])
         total, parts = compute_loss(out["raw"], batch["targets"],
                                     batch["tmask"], loss_cfg)
-        if sr and "sr" in out and "hr" in batch:
-            sr_loss = jnp.mean(jnp.abs(out["sr"].astype(jnp.float32)
-                                       - batch["hr"]))
-            total = total + sr_weight * sr_loss
+        if sr and "sr" in out:
+            sr_out = out["sr"].astype(jnp.float32)
+            mode = model.input_mode
+            if mode == "IR":
+                sr_loss = 0.5 * jnp.mean(jnp.abs(sr_out - ir))
+            elif mode == "RGB":
+                sr_loss = 0.5 * jnp.mean(jnp.abs(sr_out - img))
+            else:
+                sr_loss = 0.1 * (
+                    jnp.mean(jnp.abs(sr_out[..., 0:3] - img))
+                    + jnp.mean(jnp.abs(sr_out[..., 3:4] - ir[..., 0:1])))
+            total = total + sr_loss
             parts = dict(parts, sr=sr_loss)
         return total, (parts, mut["batch_stats"])
 

@@ -32,6 +32,8 @@ from .checkpoint import save_checkpoint, load_checkpoint, eval_variables
 from .optim import lr_schedules
 from ..utils.loggers import RunLogger
 from ..utils.plots import plot_results, plot_labels
+from ..utils.autoanchor import check_anchors
+from ..utils.general import labels_to_class_weights, labels_to_image_weights
 
 NOMINAL_BATCH = 64  # reference nbs (Train.py:124)
 
@@ -47,11 +49,15 @@ class TrainConfig:
     input_mode: str = "RGB+IR"
     sr: bool = False                 # --super
     sr_factor: int = 1
+    down_factor: int = 1             # model input = img_size / down_factor
     adam: bool = False
     linear_lr: bool = False
     synthetic: bool = False          # use the synthetic dataset
     synthetic_n: int = 64
     save_dir: str = "runs/train/exp"
+    autoanchor: bool = True          # reference default (--noautoanchor off)
+    image_weights: bool = False      # class-weighted image resampling
+    multi_scale: bool = False        # +/-50%% size buckets (Train.py:396-402)
     seed: int = 0
     eval_every: int = 1
     max_labels: int = 30
@@ -93,11 +99,32 @@ def train(tc: TrainConfig) -> dict:
     ch_in = {"RGB": 3, "IR": 3, "RGB+IR": 4,
              "RGB+IR+fusion": 8, "RGB+IR+MF": 3}[tc.input_mode]
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
-    model = build_model(tc.cfg, ch_in=ch_in, nc=nc, sr=tc.sr,
-                        factor=tc.sr_factor, dtype=dtype,
-                        input_mode=tc.input_mode)
 
     train_ds, val_ds = _datasets(tc, data_cfg)
+
+    # autoanchor BPR check + refit (reference Train.py:260-261)
+    anchors_override = None
+    if tc.autoanchor:
+        try:
+            shapes = np.full((len(train_ds), 2), tc.img_size, float)
+            from ..models.compiler import parse_config
+            spec0 = parse_config(tc.cfg, ch_in=ch_in, nc=nc)
+            a0 = np.asarray(spec0.anchors, np.float32).reshape(
+                len(spec0.anchors), -1, 2)
+            new_a, changed, bpr = check_anchors(
+                train_ds.labels, shapes, a0, img_size=tc.img_size,
+                thr=hyp.get("anchor_t", 4.0), seed=tc.seed)
+            print(f"autoanchor: BPR {bpr:.4f}"
+                  + (" -> anchors refit" if changed else ""))
+            if changed:
+                anchors_override = [list(map(float, lvl.reshape(-1)))
+                                    for lvl in new_a]
+        except Exception as e:
+            print(f"autoanchor skipped: {e}")
+
+    model = build_model(tc.cfg, ch_in=ch_in, nc=nc, sr=tc.sr,
+                        factor=tc.sr_factor, dtype=dtype,
+                        input_mode=tc.input_mode, anchors=anchors_override)
     nb = max(len(train_ds) // tc.batch_size, 1)
     accumulate = max(round(NOMINAL_BATCH / tc.batch_size), 1)
 
@@ -139,6 +166,7 @@ def train(tc: TrainConfig) -> dict:
         anchor_t=hyp.get("anchor_t", 4.0), fl_gamma=hyp.get("fl_gamma", 0.0))
 
     step_fn = jax.jit(make_train_step(model, tx, loss_cfg, sr=tc.sr,
+                                      down_factor=tc.down_factor,
                                       accumulate=accumulate))
 
     mesh = make_mesh()
@@ -159,9 +187,24 @@ def train(tc: TrainConfig) -> dict:
         pass
 
     results_file = save_dir / "results.txt"
+    maps_state = {"maps": np.zeros(nc)}
+    cw0 = labels_to_class_weights(train_ds.labels, nc)
+
+    def sample_weights():
+        # cw * (1 - maps)^2 / nc -> per-image weights (Train.py:337-340)
+        cw = cw0 * (1 - maps_state["maps"]) ** 2 / nc
+        return labels_to_image_weights(train_ds.labels, nc, cw)
+
     batches = make_train_batches(
         train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
-        max_labels_per_image=tc.max_labels, epochs=None)
+        max_labels_per_image=tc.max_labels, epochs=None,
+        sample_weights_fn=sample_weights if tc.image_weights else None,
+        multi_scale=tc.multi_scale)
+
+    # class weights for image-weighted resampling (Train.py:336-347;
+    # the rank-0 dist.broadcast of indices is unnecessary here — the seeded
+    # schedule is identical on every host)
+    class_weights = labels_to_class_weights(train_ds.labels, nc)
 
     metrics_out: dict[str, Any] = {}
     t_start = time.time()
@@ -191,6 +234,9 @@ def train(tc: TrainConfig) -> dict:
                                            tc.img_size),
                          nc=nc, img_size=tc.img_size, names=names)
             fit = fitness_from_metrics(m)
+            for c, v in (m.get("per_class") or {}).items():
+                if c < nc:
+                    maps_state["maps"][c] = v["ap"]
             line += (f" mAP50={m['map50']:.4f} mAP={m['map']:.4f} "
                      f"fit={fit:.4f}")
             metrics_out = m

@@ -19,9 +19,9 @@ def _rand(shape, seed):
 
 
 def test_kernel_matches_reference_unmasked():
-    nh, w, n, hd = 2, 8, 64, 16
-    q, k, v = _rand((nh, w, n, hd), 0), _rand((nh, w, n, hd), 1), \
-        _rand((nh, w, n, hd), 2)
+    w, nh, n, hd = 8, 2, 64, 16
+    q, k, v = _rand((w, nh, n, hd), 0), _rand((w, nh, n, hd), 1), \
+        _rand((w, nh, n, hd), 2)
     bias = _rand((nh, n, n), 3)
     ref = _reference_attention(q, k, v, bias, None, 4)
     from jax.experimental import pallas as pl
@@ -43,8 +43,8 @@ def test_kernel_matches_reference_masked():
     nw = 4
     b = 2
     w = b * nw
-    q, k, v = _rand((nh, w, n, hd), 4), _rand((nh, w, n, hd), 5), \
-        _rand((nh, w, n, hd), 6)
+    q, k, v = _rand((w, nh, n, hd), 4), _rand((w, nh, n, hd), 5), \
+        _rand((w, nh, n, hd), 6)
     bias = _rand((nh, n, n), 7)
     mask = shift_attn_mask(h_img, wimg, 8, 2)
     assert mask.shape[0] == nw
@@ -62,9 +62,9 @@ def test_kernel_matches_reference_masked():
 
 
 def test_core_dispatches_to_reference_on_cpu():
-    nh, w, n, hd = 1, 4, 16, 8
-    q, k, v = _rand((nh, w, n, hd), 8), _rand((nh, w, n, hd), 9), \
-        _rand((nh, w, n, hd), 10)
+    w, nh, n, hd = 4, 1, 16, 8
+    q, k, v = _rand((w, nh, n, hd), 8), _rand((w, nh, n, hd), 9), \
+        _rand((w, nh, n, hd), 10)
     bias = jnp.zeros((nh, n, n))
     out = window_attention_core(q, k, v, bias, None, 2)
     ref = _reference_attention(q, k, v, bias, None, 2)
@@ -72,9 +72,9 @@ def test_core_dispatches_to_reference_on_cpu():
 
 
 def test_custom_vjp_gradients_match_reference():
-    nh, w, n, hd = 1, 4, 16, 8
-    q, k, v = _rand((nh, w, n, hd), 11), _rand((nh, w, n, hd), 12), \
-        _rand((nh, w, n, hd), 13)
+    w, nh, n, hd = 4, 1, 16, 8
+    q, k, v = _rand((w, nh, n, hd), 11), _rand((w, nh, n, hd), 12), \
+        _rand((w, nh, n, hd), 13)
     bias = _rand((nh, n, n), 14)
 
     def loss_ref(q, k, v, b):

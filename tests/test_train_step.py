@@ -90,3 +90,54 @@ def test_batchnorm_stats_update():
     state, _ = jax.jit(step)(state, batch)
     bs1 = jax.tree.leaves(state.batch_stats)[0]
     assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
+
+
+def test_sr_training_step():
+    """SR branch end to end: tiny CNN config + DeepLabSR taps, loss finite
+    and sr component present."""
+    import yaml
+    cfg = {
+        "nc": 3, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "l1": 2, "l2": 4, "c1": 32, "c2": 64,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "C3", [32]],          # 2: l1 tap (32ch @ /4)
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "C3", [64]],          # 4: l2 tap (64ch @ /8)
+        ],
+        "head": [
+            [-1, 1, "Conv", [32, 1, 1]],
+            [[5], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    model = build_model(cfg, ch_in=3, input_mode="RGB", sr=True, factor=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+    out = model.apply(variables, x, x, train=True,
+                      mutable=["batch_stats"])[0]
+    assert "sr" in out
+    # SR reconstructs 2x the model input (decoder x1 at /4 tap, EDSR x8 from
+    # the /8-equivalent): 64 -> 128
+    assert out["sr"].shape == (2, 128, 128, 3)
+
+    cfgl = LossConfig(nc=3, anchors=model.spec.anchors,
+                      strides=model.spec.detect_strides)
+    tx = make_optimizer(HYP, variables["params"], epochs=2, nb=1)
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    # SR regime: full-res batch 128, model input downsampled /2 to 64,
+    # SR branch reconstructs 128 == original (Train.py:364-427)
+    step = jax.jit(make_train_step(model, tx, cfgl, sr=True, down_factor=2))
+    xf = jnp.asarray(rng.uniform(size=(2, 128, 128, 3)).astype(np.float32))
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    tmask = np.zeros((2, 4), bool)
+    tmask[:, 0] = True
+    batch = {"img": xf, "ir": xf, "targets": jnp.asarray(targets),
+             "tmask": jnp.asarray(tmask)}
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"])) and "sr" in m
+    assert float(m["sr"]) > 0

@@ -32,6 +32,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--super", action="store_true", dest="sr",
                    help="train the super-resolution auxiliary branch")
     p.add_argument("--factor", type=int, default=1, dest="sr_factor")
+    p.add_argument("--down-factor", type=int, default=1,
+                   help="model input = img-size / down-factor (SR regime)")
     p.add_argument("--adam", action="store_true")
     p.add_argument("--linear-lr", action="store_true")
     p.add_argument("--synthetic", action="store_true",
@@ -43,6 +45,9 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--no-bf16", action="store_false", dest="bf16")
     p.add_argument("--resume", default="")
+    p.add_argument("--noautoanchor", action="store_false", dest="autoanchor")
+    p.add_argument("--image-weights", action="store_true")
+    p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="evolve hyperparameters for N generations")
@@ -57,7 +62,10 @@ def parse_args(argv=None) -> TrainConfig:
                        linear_lr=a.linear_lr, synthetic=a.synthetic,
                        synthetic_n=a.synthetic_n, save_dir=a.save_dir,
                        seed=a.seed, eval_every=a.eval_every, bf16=a.bf16,
-                       resume=a.resume)
+                       resume=a.resume, down_factor=a.down_factor,
+                       autoanchor=a.autoanchor,
+                       image_weights=a.image_weights,
+                       multi_scale=a.multi_scale)
 
 
 def _main():
