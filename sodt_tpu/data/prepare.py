@@ -73,3 +73,26 @@ def changepath(fold_file: str, out_file: str, image_root: str,
     lines = [str(Path(image_root) / f"{i}{suffix}") for i in ids]
     Path(out_file).write_text("\n".join(lines) + "\n")
     return len(lines)
+
+
+def main(argv=None):
+    """CLI: python -m sodt_tpu.data.prepare annotations.txt out_labels/
+    [--fold fold01.txt --fold-out fold01_write.txt --image-root imgs/]"""
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("annotations")
+    ap.add_argument("out_dir")
+    ap.add_argument("--img-size", type=float, default=512.0)
+    ap.add_argument("--fold", default="")
+    ap.add_argument("--fold-out", default="")
+    ap.add_argument("--image-root", default="")
+    a = ap.parse_args(argv)
+    n = makelabels(a.annotations, a.out_dir, a.img_size, a.img_size)
+    print(f"wrote labels for {n} images to {a.out_dir}")
+    if a.fold and a.fold_out:
+        m = changepath(a.fold, a.fold_out, a.image_root)
+        print(f"wrote {m} image paths to {a.fold_out}")
+
+
+if __name__ == "__main__":
+    main()

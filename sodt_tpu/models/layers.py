@@ -570,3 +570,21 @@ class ACmix(nn.Module):
         rate1 = self.param("rate1", lambda k_, s_: jnp.full(s_, 0.5), (1,))
         rate2 = self.param("rate2", lambda k_, s_: jnp.full(s_, 0.5), (1,))
         return rate1 * out_att + rate2 * out_conv
+
+
+class Classify(nn.Module):
+    """Classification head (common.py:431-444): global pool + 1x1 conv."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        xs = x if isinstance(x, (list, tuple)) else [x]
+        pooled = [jnp.mean(t, axis=(1, 2), keepdims=True) for t in xs]
+        y = jnp.concatenate(pooled, axis=-1)
+        y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
+                    dtype=self.dtype, name="conv")(y)
+        return y.reshape(y.shape[0], -1)

@@ -109,18 +109,17 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index(self.window_size).reshape(-1)
         bias = table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh,N,N)
 
+        # fused qkv projection feeds the attention core directly in its
+        # natural (B_, N, 3C) layout — the head split happens inside the
+        # fused kernel (or inside one einsum on the XLA path)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
 
         from ..pallas.window_attention import window_attention_core
         nw = mask.shape[0] if mask is not None else 1
         out = window_attention_core(
-            q * scale, k, v, bias.astype(jnp.float32),
-            None if mask is None else mask, nw)   # (B_, nh, N, hd)
-
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+            qkv, bias.astype(jnp.float32),
+            None if mask is None else mask, nw, nh, scale)  # (B_, N, C)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 

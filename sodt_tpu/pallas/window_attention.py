@@ -2,22 +2,26 @@
 
 The XLA path of W-MSA materializes the (B*nW, nh, N, N) attention matrices
 in HBM between the QK^T and PV matmuls — for the flagship stage-1 that is
-~1.6 GB of f32 per block per batch-32 step, three times over (write scores,
-read+write softmax, read PV). This kernel keeps the whole
-scores -> +bias(+mask) -> softmax -> PV chain resident in VMEM per tile:
+~1.6 GB of f32 per block per batch-32 step, times three accesses (write
+scores, read+write softmax, read PV) — plus the head-split transposes of
+q/k/v. This kernel consumes the *raw fused qkv projection* (W, N, 3C), the
+exact layout the Dense layer produces, so no transpose or head-split ever
+touches HBM; everything from head slicing through softmax to PV stays in
+VMEM:
 
-  layout   q, k, v: (W, nh, N, hd)   — W = B * num_windows total windows
-           (the natural layout after the qkv projection reshape, so no
-           HBM-scrambling transposes are introduced around the kernel)
-  grid     (W // G, nh)              — G windows per program, G | num_windows
-  blocks   q/k/v (G, 1, N, hd), bias (1, N, N) per head,
-           optional mask (G, N, N) selected by window position
-  compute  per window-group batched dot_generals; f32 accumulation on the
-           MXU; softmax in f32 in VMEM; output cast back to the input dtype
+  layout   qkv: (W, N, 3C) — W = B * num_windows window tokens
+  grid     (W // G,)       — G windows per program, G | num_windows
+  blocks   qkv (G, N, 3C); bias full (nh, N, N); mask (G, N, N) selected by
+           window position inside the image
+  compute  static python loop over heads; per head a (G)-batched
+           QK^T (f32 MXU accumulation), bias/mask add + f32 softmax in
+           VMEM, PV matmul, slice-assign into the (G, N, C) output block
 
-Backward: `fused_window_attention` carries a custom VJP that recomputes the
-reference XLA attention under jax.vjp — Pallas speed forward, XLA-autodiff
-backward (standard remat trade, see pallas_guide.md Custom VJP pattern).
+HBM traffic: qkv read once, attention output written once — the score
+matrices never leave VMEM.
+
+Backward: custom VJP recomputes the XLA reference attention under jax.vjp —
+Pallas-speed forward, XLA-autodiff backward (pallas_guide.md Custom VJP).
 """
 
 from __future__ import annotations
@@ -31,122 +35,139 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reference_attention(q, k, v, bias, mask, nw: int):
-    """XLA reference: q,k,v (W, nh, N, hd); bias (nh, N, N);
-    mask (nw, N, N) or None."""
-    w, nh, n, hd = q.shape
-    attn = jnp.einsum("whnd,whmd->whnm", q, k,
+def reference_attention_qkv(qkv, bias, mask, nw: int, nh: int,
+                            scale: float):
+    """XLA reference on the fused layout: qkv (W, N, 3C) -> (W, N, C)."""
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    q, k, v = qkv[..., :c], qkv[..., c:2 * c], qkv[..., 2 * c:]
+    split = lambda t: t.reshape(w, n, nh, hd).transpose(0, 2, 1, 3)
+    qh, kh, vh = split(q), split(k), split(v)
+    attn = jnp.einsum("whnd,whmd->whnm", qh * scale, kh,
                       preferred_element_type=jnp.float32)
     attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
         attn = attn.reshape(w // nw, nw, nh, n, n)
         attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
         attn = attn.reshape(w, nh, n, n)
-    p = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
-    return jnp.einsum("whnm,whmd->whnd", p, v)
+    p = jax.nn.softmax(attn, axis=-1).astype(qkv.dtype)
+    out = jnp.einsum("whnm,whmd->whnd", p, vh)
+    return out.transpose(0, 2, 1, 3).reshape(w, n, c)
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref):
-    q = q_ref[:, 0].astype(jnp.float32)       # (G, N, hd)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0]
-    scores = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)    # (G, N, N)
-    scores = scores + bias_ref[0][None]
-    p = jax.nn.softmax(scores, axis=-1)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[:, 0] = out.astype(out_ref.dtype)
+def _kernel(qkv_ref, bias_ref, out_ref, *, nh: int, scale: float,
+            masked: bool, mask_ref=None):
+    qkv = qkv_ref[...]                        # (G, N, 3C)
+    g, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    for h in range(nh):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)   # (G, N, N)
+        s = s * scale + bias_ref[h][None]
+        if masked:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)
+        out = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out_ref[:, :, h * hd:(h + 1) * hd] = out.astype(out_ref.dtype)
 
 
-def _kernel_masked(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref):
-    q = q_ref[:, 0].astype(jnp.float32)
-    k = k_ref[:, 0].astype(jnp.float32)
-    v = v_ref[:, 0]
-    scores = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[0][None] + mask_ref[:]
-    p = jax.nn.softmax(scores, axis=-1)
-    out = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    out_ref[:, 0] = out.astype(out_ref.dtype)
+def _kernel_masked(qkv_ref, bias_ref, mask_ref, out_ref, *, nh, scale):
+    _kernel(qkv_ref, bias_ref, out_ref, nh=nh, scale=scale, masked=True,
+            mask_ref=mask_ref)
 
 
-def _pick_group(num_windows: int, n: int, hd: int) -> int:
-    """Windows per program: bounded by VMEM, must divide num_windows."""
-    budget = 48  # ~ (G * N * (2*hd + 2*N) * 4B) stays well under VMEM
-    g = min(num_windows, budget)
+def _kernel_unmasked(qkv_ref, bias_ref, out_ref, *, nh, scale):
+    _kernel(qkv_ref, bias_ref, out_ref, nh=nh, scale=scale, masked=False)
+
+
+def _pick_group(num_windows: int) -> int:
+    g = min(num_windows, 16)
     while num_windows % g:
         g -= 1
     return max(g, 1)
 
 
-def _pallas_attention(q, k, v, bias, mask, nw: int):
-    w, nh, n, hd = q.shape
-    g = _pick_group(nw, n, hd)
-    grid = (w // g, nh)
+def _pallas_attention(qkv, bias, mask, nw: int, nh: int, scale: float):
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    g = _pick_group(nw)
+    grid = (w // g,)
 
-    qkv_spec = pl.BlockSpec((g, 1, n, hd), lambda j, h: (j, h, 0, 0),
+    qkv_spec = pl.BlockSpec((g, n, c3), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, n, n), lambda j, h: (h, 0, 0),
+    bias_spec = pl.BlockSpec((nh, n, n), lambda j: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((g, 1, n, hd), lambda j, h: (j, h, 0, 0),
+    out_spec = pl.BlockSpec((g, n, c), lambda j: (j, 0, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((w, n, c), qkv.dtype)
 
     if mask is None:
         return pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel_unmasked, nh=nh, scale=scale),
             grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+            in_specs=[qkv_spec, bias_spec],
             out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        )(q, k, v, bias)
+            out_shape=out_shape,
+        )(qkv, bias)
 
     nblocks_per_img = nw // g
     mask_spec = pl.BlockSpec(
-        (g, n, n), lambda j, h: (j % nblocks_per_img, 0, 0),
+        (g, n, n), lambda j: (j % nblocks_per_img, 0, 0),
         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel_masked,
+        functools.partial(_kernel_masked, nh=nh, scale=scale),
         grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, mask_spec],
+        in_specs=[qkv_spec, bias_spec, mask_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-    )(q, k, v, bias, jnp.asarray(mask, jnp.float32))
+        out_shape=out_shape,
+    )(qkv, bias, jnp.asarray(mask, jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_window_attention(q, k, v, bias, mask, nw: int):
-    """Fused W-MSA core. q,k,v: (W, nh, N, hd); bias: (nh, N, N) f32;
-    mask: (nw, N, N) f32 or None; returns (W, nh, N, hd)."""
-    return _pallas_attention(q, k, v, bias, mask, nw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_window_attention(qkv, bias, mask, nw: int, nh: int, scale: float):
+    """Fused W-MSA core on the raw qkv projection.
+
+    qkv: (W, N, 3C); bias: (nh, N, N) f32; mask: (nw, N, N) f32 or None.
+    Returns (W, N, C)."""
+    return _pallas_attention(qkv, bias, mask, nw, nh, scale)
 
 
-def _fwa_fwd(q, k, v, bias, mask, nw):
-    return _pallas_attention(q, k, v, bias, mask, nw), (q, k, v, bias, mask)
+def _fwa_fwd(qkv, bias, mask, nw, nh, scale):
+    return _pallas_attention(qkv, bias, mask, nw, nh, scale), \
+        (qkv, bias, mask)
 
 
-def _fwa_bwd(nw, res, g):
-    q, k, v, bias, mask = res
+def _fwa_bwd(nw, nh, scale, res, g):
+    qkv, bias, mask = res
     _, vjp = jax.vjp(
-        lambda q_, k_, v_, b_: _reference_attention(q_, k_, v_, b_, mask, nw),
-        q, k, v, bias)
-    dq, dk, dv, db = vjp(g)
-    return dq, dk, dv, db, None
+        lambda q_, b_: reference_attention_qkv(q_, b_, mask, nw, nh, scale),
+        qkv, bias)
+    dqkv, dbias = vjp(g)
+    return dqkv, dbias, None
 
 
 fused_window_attention.defvjp(_fwa_fwd, _fwa_bwd)
 
 
-def window_attention_core(q, k, v, bias, mask, nw: int, *,
-                          use_pallas: bool | None = None):
-    """Dispatch: Pallas on TPU, XLA elsewhere (and under interpretation)."""
+def window_attention_core(qkv, bias, mask, nw: int, nh: int, scale: float,
+                          *, use_pallas: bool | None = None):
+    """Dispatch: Pallas on TPU for VMEM-sized windows, XLA otherwise.
+
+    The kernel holds the full (nh, N, N) bias block in VMEM, so it only
+    pays off for genuinely windowed attention (N <= 256 tokens). Global
+    blocks (e.g. the flagship stage-3 at N=1024) stay on the XLA path —
+    there a single big attention matrix is what the MXU wants anyway."""
+    n = qkv.shape[1]
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = (jax.default_backend() not in ("cpu",)) and n <= 256
     if use_pallas:
-        return fused_window_attention(q, k, v, bias, mask, nw)
-    return _reference_attention(q, k, v, bias, mask, nw)
+        return fused_window_attention(qkv, bias, mask, nw, nh, scale)
+    return reference_attention_qkv(qkv, bias, mask, nw, nh, scale)

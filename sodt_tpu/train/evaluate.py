@@ -68,7 +68,8 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              max_det: int = 300, top_k: int = 4096, merge: bool = True,
              loss_cfg: LossConfig | None = None, names=None,
-             confusion: bool = False, verbose: bool = False):
+             confusion: bool = False, verbose: bool = False,
+             save_json: str | None = None, save_txt: str | None = None):
     """Run the full eval protocol. Returns a metrics dict.
 
     `batches` yields dicts from data.loader.make_eval_batches.
@@ -82,6 +83,7 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
     seen = 0
     t_infer = 0.0
     losses_acc = []
+    jdict = []  # COCO-format detections (reference test.py:194-204)
 
     for batch in batches:
         t0 = time.perf_counter()
@@ -116,6 +118,28 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 cm.process_batch(d, labels5)
             stats.append((correct, d[:, 4], d[:, 5], tcls))
 
+            image_id = batch.get("indices", [seen - 1])[si]
+            if save_json is not None:
+                for x1, y1, x2, y2, conf_, cls_ in d:
+                    jdict.append({"image_id": int(image_id),
+                                  "category_id": int(cls_),
+                                  "bbox": [round(float(x1), 3),
+                                           round(float(y1), 3),
+                                           round(float(x2 - x1), 3),
+                                           round(float(y2 - y1), 3)],
+                                  "score": round(float(conf_), 5)})
+            if save_txt is not None:
+                import os
+                os.makedirs(save_txt, exist_ok=True)
+                with open(f"{save_txt}/{int(image_id)}.txt", "w") as fh:
+                    for x1, y1, x2, y2, conf_, cls_ in d:
+                        cx = (x1 + x2) / 2 / img_size
+                        cy = (y1 + y2) / 2 / img_size
+                        bw = (x2 - x1) / img_size
+                        bh = (y2 - y1) / img_size
+                        fh.write(f"{int(cls_)} {cx:.6f} {cy:.6f} "
+                                 f"{bw:.6f} {bh:.6f} {conf_:.5f}\n")
+
     out: dict[str, Any] = {"seen": seen,
                            "speed_ms": 1000 * t_infer / max(seen, 1)}
     if stats:
@@ -142,6 +166,10 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                            for k in losses_acc[0]}
     if cm is not None:
         out["confusion_matrix"] = cm.matrix
+    if save_json is not None:
+        import json
+        with open(save_json, "w") as fh:
+            json.dump(jdict, fh)
     if verbose and names and out.get("per_class"):
         print(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} {'mAP':>8}")
         print(f"{'all':>12} {out['mp']:8.4f} {out['mr']:8.4f} "

@@ -216,3 +216,21 @@ def compute_loss(preds: Sequence[jax.Array], targets: jax.Array,
     lcls *= cfg.hyp_cls
     total = (lbox + lobj + lcls) * bsz
     return total, {"box": lbox, "obj": lobj, "cls": lcls}
+
+
+def bce_blur_with_logits(pred, true, alpha: float = 0.05):
+    """BCEBlurWithLogits (loss.py:17-31): BCE with reduced missing-label
+    effect. Returns the mean like the reference."""
+    loss = bce_with_logits(pred, true)
+    p = jax.nn.sigmoid(pred)
+    dx = p - true
+    alpha_factor = 1 - jnp.exp((dx - 1) / (alpha + 1e-4))
+    return jnp.mean(loss * alpha_factor)
+
+
+def qfocal_modulation(logits, targets, loss, gamma: float,
+                      alpha: float = 0.25):
+    """Quality focal factor (loss.py:64-87)."""
+    p = jax.nn.sigmoid(logits)
+    alpha_f = targets * alpha + (1 - targets) * (1 - alpha)
+    return loss * alpha_f * jnp.abs(targets - p) ** gamma

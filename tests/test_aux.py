@@ -125,3 +125,43 @@ def test_checkpoint_roundtrip(tmp_path):
     final = load_checkpoint(tmp_path / "final")
     assert "params" in final and "batch_stats" in final
     assert "ema_params" not in final
+
+
+def test_sam_optimizer_steps():
+    from sodt_tpu.train.sam import make_sam_optimizer
+    import optax
+    hyp = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.9, "warmup_iters": 1}
+    params = {"w": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}
+    tx = make_sam_optimizer(hyp, params, epochs=2, nb=1)
+    state = tx.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["bias"] ** 2)
+
+    # SAM opaque mode needs grad_fn in update; optax contract: pass obj fn
+    grads = jax.grad(loss)(params)
+    try:
+        updates, state = tx.update(grads, state, params,
+                                   grad_fn=jax.grad(lambda p, _: loss(p)))
+    except TypeError:
+        updates, state = tx.update(grads, state, params)
+    new = optax.apply_updates(params, updates)
+    assert np.isfinite(np.asarray(new["w"])).all()
+
+
+def test_predictor_api():
+    from pathlib import Path
+    from sodt_tpu.models.infer import Predictor
+    from sodt_tpu.models import build_model
+    TINY = str(Path(__file__).parent / "tiny.yaml")
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
+    pred = Predictor(model, variables, img_size=64, names=["a", "b", "c"])
+    img = (np.random.default_rng(0).uniform(0, 255, (80, 100, 3))
+           .astype(np.uint8))
+    res = pred([img, img])
+    assert len(res) == 2
+    for d in res.dets:
+        assert d.shape[1] == 6
+    res.print()

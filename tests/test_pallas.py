@@ -1,6 +1,8 @@
 """Pallas window-attention kernel: interpreter-mode parity with the XLA
-reference path (the kernel itself runs compiled only on TPU; tests exercise
+reference path (the kernel runs compiled only on TPU; these tests exercise
 the math via pallas interpret mode on CPU)."""
+
+import contextlib
 
 import numpy as np
 import jax
@@ -8,7 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from sodt_tpu.pallas.window_attention import (
-    _reference_attention, _pallas_attention, fused_window_attention,
+    reference_attention_qkv, _pallas_attention, fused_window_attention,
     window_attention_core)
 from sodt_tpu.models.swin import shift_attn_mask
 
@@ -18,81 +20,71 @@ def _rand(shape, seed):
         np.random.default_rng(seed).normal(size=shape).astype(np.float32))
 
 
-def test_kernel_matches_reference_unmasked():
-    w, nh, n, hd = 8, 2, 64, 16
-    q, k, v = _rand((w, nh, n, hd), 0), _rand((w, nh, n, hd), 1), \
-        _rand((w, nh, n, hd), 2)
-    bias = _rand((nh, n, n), 3)
-    ref = _reference_attention(q, k, v, bias, None, 4)
+@contextlib.contextmanager
+def interpret_mode():
     from jax.experimental import pallas as pl
-    import sodt_tpu.pallas.window_attention as wa
-    # interpret mode: patch pallas_call
     orig = pl.pallas_call
     try:
         pl.pallas_call = lambda *a, **kw: orig(*a, interpret=True, **kw)
-        out = wa._pallas_attention(q, k, v, bias, None, 4)
+        yield
     finally:
         pl.pallas_call = orig
+
+
+def test_kernel_matches_reference_unmasked():
+    w, nh, n, c = 8, 2, 64, 32
+    qkv = _rand((w, n, 3 * c), 0)
+    bias = _rand((nh, n, n), 3)
+    scale = (c // nh) ** -0.5
+    ref = reference_attention_qkv(qkv, bias, None, 4, nh, scale)
+    with interpret_mode():
+        out = _pallas_attention(qkv, bias, None, 4, nh, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
 
 def test_kernel_matches_reference_masked():
-    nh, n, hd = 2, 64, 16
-    h_img = wimg = 16
+    nh, n, c = 2, 64, 32
     nw = 4
-    b = 2
-    w = b * nw
-    q, k, v = _rand((w, nh, n, hd), 4), _rand((w, nh, n, hd), 5), \
-        _rand((w, nh, n, hd), 6)
+    w = 2 * nw
+    qkv = _rand((w, n, 3 * c), 4)
     bias = _rand((nh, n, n), 7)
-    mask = shift_attn_mask(h_img, wimg, 8, 2)
+    mask = shift_attn_mask(16, 16, 8, 2)
     assert mask.shape[0] == nw
-    ref = _reference_attention(q, k, v, bias, mask, nw)
-    from jax.experimental import pallas as pl
-    import sodt_tpu.pallas.window_attention as wa
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = lambda *a, **kw: orig(*a, interpret=True, **kw)
-        out = wa._pallas_attention(q, k, v, bias, mask, nw)
-    finally:
-        pl.pallas_call = orig
+    scale = (c // nh) ** -0.5
+    ref = reference_attention_qkv(qkv, bias, mask, nw, nh, scale)
+    with interpret_mode():
+        out = _pallas_attention(qkv, bias, mask, nw, nh, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
 
 
 def test_core_dispatches_to_reference_on_cpu():
-    w, nh, n, hd = 4, 1, 16, 8
-    q, k, v = _rand((w, nh, n, hd), 8), _rand((w, nh, n, hd), 9), \
-        _rand((w, nh, n, hd), 10)
+    w, nh, n, c = 4, 1, 16, 8
+    qkv = _rand((w, n, 3 * c), 8)
     bias = jnp.zeros((nh, n, n))
-    out = window_attention_core(q, k, v, bias, None, 2)
-    ref = _reference_attention(q, k, v, bias, None, 2)
+    out = window_attention_core(qkv, bias, None, 2, nh, 0.5)
+    ref = reference_attention_qkv(qkv, bias, None, 2, nh, 0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 def test_custom_vjp_gradients_match_reference():
-    w, nh, n, hd = 4, 1, 16, 8
-    q, k, v = _rand((w, nh, n, hd), 11), _rand((w, nh, n, hd), 12), \
-        _rand((w, nh, n, hd), 13)
+    w, nh, n, c = 4, 1, 16, 8
+    qkv = _rand((w, n, 3 * c), 11)
     bias = _rand((nh, n, n), 14)
+    scale = (c // nh) ** -0.5
 
-    def loss_ref(q, k, v, b):
-        return jnp.sum(_reference_attention(q, k, v, b, None, 2) ** 2)
+    def loss_ref(qkv, b):
+        return jnp.sum(
+            reference_attention_qkv(qkv, b, None, 2, nh, scale) ** 2)
 
-    from jax.experimental import pallas as pl
-    import sodt_tpu.pallas.window_attention as wa
-    orig = pl.pallas_call
-    try:
-        pl.pallas_call = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    with interpret_mode():
+        def loss_pal(qkv, b):
+            return jnp.sum(
+                fused_window_attention(qkv, b, None, 2, nh, scale) ** 2)
 
-        def loss_pal(q, k, v, b):
-            return jnp.sum(fused_window_attention(q, k, v, b, None, 2) ** 2)
-
-        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    finally:
-        pl.pallas_call = orig
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1))(qkv, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
