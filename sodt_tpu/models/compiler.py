@@ -200,7 +200,13 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
     if steam_defs:
         sch, sst = [ch_in], [1.0]
         steam_list, _, _ = _parse_section(steam_defs, sch, sst, gd, gw, no)
-        steam_layers = tuple(steam_list)
+        # shift indices so steam module names (l1000+) stay disjoint from
+        # the backbone/head namespace inside the flax module; the steam walk
+        # is purely sequential so the `from` refs are only informational
+        steam_layers = tuple(
+            LayerDef(ld.i + 1000, tuple(x + 1000 for x in ld.f), ld.name,
+                     ld.args, ld.n, ld.c2, ld.stride)
+            for ld in steam_list)
 
     if split:
         enc_name = backbone_defs[0][2]
@@ -286,10 +292,7 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
 
 def build_module(ld: LayerDef, dtype) -> Any:
     """Instantiate the flax module for one LayerDef (registry dispatch)."""
-    name = ld.name
-    a = ld.args
-    builder = MODULE_REGISTRY[name]
-    return builder(ld, dtype)
+    return MODULE_REGISTRY[ld.name](ld, dtype)
 
 
 def _conv(ld, dt):

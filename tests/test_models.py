@@ -162,3 +162,41 @@ def test_flagship_model_builds_and_runs_small():
     raw = out["raw"]
     assert len(raw) == 1
     assert raw[0].shape == (1, 16, 16, 3, 13)   # stride 4, na=3, 5+8
+
+
+def test_steam_fusion_mode():
+    """RGB+IR+fusion: learned stems on each modality, concatenated
+    (reference model.py:104-105,186-189)."""
+    cfg = {
+        "nc": 3, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "steam": [[-1, 1, "Conv", [8, 3, 1]]],
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [32, 3, 2]],
+        ],
+        "head": [
+            [-1, 1, "Conv", [32, 1, 1]],
+            [[2], 1, "Detect", ["nc", "anchors"]],
+        ],
+    }
+    # steam outputs 8ch per modality -> backbone sees 16ch
+    model = build_model(cfg, ch_in=16, input_mode="RGB+IR+fusion")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    out = model.apply(v, x, x, train=False)
+    assert out["raw"][0].shape == (1, 16, 16, 3, 8)
+
+
+def test_mf_input_mode():
+    """RGB+IR+MF: the MF block consumes the [rgb, ir] pair
+    (reference model.py:197-198)."""
+    from pathlib import Path
+    ROOT = Path(__file__).parent.parent
+    model = build_model(str(ROOT / "configs" / "SRyolo_MF.yaml"), ch_in=3,
+                        input_mode="RGB+IR+MF")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    out = model.apply(v, x, x, train=False)
+    # stride 4 single level
+    assert out["raw"][0].shape == (1, 16, 16, 3, 13)
