@@ -154,6 +154,9 @@ def _parse_section(defs, ch: list[int], strides: list[float], gd: float,
             out.append(LayerDef(i, fs, "Detect", (), 1, c2, s_in))
         elif name == "ImageEncoderViT":
             raise ValueError("ImageEncoderViT only valid as a split backbone")
+        elif name == "Sum":
+            c2 = c1
+            out.append(LayerDef(i, fs, "Sum", tuple(args), 1, c2, s_in))
         elif name == "Contract":
             c2 = c1 * args[0] ** 2
             s_out = s_in * args[0]
@@ -433,6 +436,9 @@ MODULE_REGISTRY = {
     "CrossConv": _crossconv,
     "MixConv2d": _mixconv,
     "ACmix": _acmix,
+    "Sum": lambda ld, dt: L.Sum(n=ld.args[0] if ld.args else 2,
+                                weight=(ld.args[1] if len(ld.args) > 1
+                                        else False), name=f"l{ld.i}"),
 }
 
 

@@ -588,3 +588,25 @@ class Classify(nn.Module):
         y = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
                     dtype=self.dtype, name="conv")(y)
         return y.reshape(y.shape[0], -1)
+
+
+class Sum(nn.Module):
+    """Weighted sum of inputs (experimental.py:28-43): optionally learned
+    sigmoid-scaled weights over n-1 later inputs."""
+
+    n: int
+    weight: bool = False
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        y = xs[0]
+        if self.weight:
+            w = self.param("w", lambda k, s: -jnp.arange(1.0, s[0] + 1.0),
+                           (self.n - 1,))
+            w = jax.nn.sigmoid(w) * 2.0
+            for i in range(self.n - 1):
+                y = y + xs[i + 1] * w[i]
+        else:
+            for i in range(self.n - 1):
+                y = y + xs[i + 1]
+        return y

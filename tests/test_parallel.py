@@ -1,0 +1,105 @@
+"""Data-parallel correctness: sharded vs single-device parity on the same
+global batch (SURVEY.md §7.2 step 8)."""
+
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sodt_tpu.models import build_model
+from sodt_tpu.train.loss import LossConfig, compute_loss
+from sodt_tpu.train.optim import make_optimizer
+from sodt_tpu.train.state import TrainState, make_train_step
+from sodt_tpu.parallel import make_mesh, shard_batch, replicate_tree
+from sodt_tpu.parallel.mesh import data_sharding, replicate_sharding
+
+TINY = str(Path(__file__).parent / "tiny.yaml")
+HYP = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "warmup_iters": 1,
+       "warmup_momentum": 0.8, "warmup_bias_lr": 0.1}
+
+
+def _batch(batch=8, img=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(size=(batch, img, img, 3)).astype(np.float32))
+    targets = np.zeros((batch, 8, 5), np.float32)
+    targets[:, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    tmask = np.zeros((batch, 8), bool)
+    tmask[:, 0] = True
+    return {"img": x, "ir": x, "targets": jnp.asarray(targets),
+            "tmask": jnp.asarray(tmask)}
+
+
+def test_sharded_loss_matches_single_device():
+    """The jitted loss over an 8-way sharded batch equals the unsharded
+    value — XLA's inserted collectives reproduce single-device math."""
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch["img"], batch["ir"],
+                           train=True)
+    cfg = LossConfig(nc=model.spec.nc, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides)
+
+    @jax.jit
+    def loss_of(variables, batch):
+        out, _ = model.apply(variables, batch["img"], batch["ir"],
+                             train=True, mutable=["batch_stats"])
+        return compute_loss(out["raw"], batch["targets"], batch["tmask"],
+                            cfg)[0]
+
+    l_single = float(loss_of(variables, batch))
+
+    mesh = make_mesh()
+    sbatch = shard_batch(batch, mesh)
+    svars = replicate_tree(variables, mesh)
+    l_sharded = float(loss_of(svars, sbatch))
+    # BN statistics are global under sharding too, so values match closely
+    np.testing.assert_allclose(l_sharded, l_single, rtol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch["img"], batch["ir"],
+                           train=True)
+    cfg = LossConfig(nc=model.spec.nc, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides)
+    tx = make_optimizer(HYP, variables["params"], epochs=5, nb=1)
+    step = jax.jit(make_train_step(model, tx, cfg))
+
+    s0 = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    s1, m1 = step(s0, batch)
+    s1, m1b = step(s1, batch)
+
+    mesh = make_mesh()
+    st = replicate_tree(
+        TrainState.create(variables["params"], variables["batch_stats"], tx),
+        mesh)
+    sb = shard_batch(batch, mesh)
+    st, n1 = step(st, sb)
+    st, n1b = step(st, sb)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(n1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m1b["loss"]), float(n1b["loss"]),
+                               rtol=2e-4)
+    # parameters evolve identically
+    pa = jax.tree.leaves(s1.params)[0]
+    pb = jax.tree.leaves(st.params)[0]
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
+
+
+def test_eval_step_sharded():
+    from sodt_tpu.train.evaluate import make_eval_step
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch["img"], batch["ir"],
+                           train=False)
+    step = make_eval_step(model, top_k=128, max_det=20)
+    d0, v0, _ = step(variables, batch["img"], batch["ir"])
+
+    mesh = make_mesh()
+    sv = replicate_tree(variables, mesh)
+    si = jax.device_put(batch["img"], data_sharding(mesh))
+    d1, v1, _ = step(sv, si, si)
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
