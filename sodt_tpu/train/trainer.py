@@ -64,6 +64,7 @@ class TrainConfig:
     bf16: bool = True
     resume: str = ""
     log_every: int = 10
+    nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
 
 
 def _load_hyp(path: str) -> dict:
@@ -126,7 +127,7 @@ def train(tc: TrainConfig) -> dict:
                         factor=tc.sr_factor, dtype=dtype,
                         input_mode=tc.input_mode, anchors=anchors_override)
     nb = max(len(train_ds) // tc.batch_size, 1)
-    accumulate = max(round(NOMINAL_BATCH / tc.batch_size), 1)
+    accumulate = max(round(tc.nbs / tc.batch_size), 1)
 
     # scale loss gains like Train.py:269-271
     nl = len(model.spec.anchors)
@@ -200,11 +201,6 @@ def train(tc: TrainConfig) -> dict:
         max_labels_per_image=tc.max_labels, epochs=None,
         sample_weights_fn=sample_weights if tc.image_weights else None,
         multi_scale=tc.multi_scale)
-
-    # class weights for image-weighted resampling (Train.py:336-347;
-    # the rank-0 dist.broadcast of indices is unnecessary here — the seeded
-    # schedule is identical on every host)
-    class_weights = labels_to_class_weights(train_ds.labels, nc)
 
     metrics_out: dict[str, Any] = {}
     t_start = time.time()

@@ -48,6 +48,8 @@ def parse_args(argv=None) -> TrainConfig:
     p.add_argument("--noautoanchor", action="store_false", dest="autoanchor")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--nbs", type=int, default=64,
+                   help="nominal batch size for gradient accumulation")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="evolve hyperparameters for N generations")
@@ -65,7 +67,7 @@ def parse_args(argv=None) -> TrainConfig:
                        resume=a.resume, down_factor=a.down_factor,
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
-                       multi_scale=a.multi_scale)
+                       multi_scale=a.multi_scale, nbs=a.nbs)
 
 
 def _main():
