@@ -36,6 +36,7 @@ def main():
     p.add_argument("--img-size", type=int, default=0)
     p.add_argument("--cfg", default="configs/model.yaml")
     p.add_argument("--iters", type=int, default=0)
+    p.add_argument("--top-k", type=int, default=0, help="NMS candidate cap")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     a = p.parse_args()
 
@@ -57,7 +58,7 @@ def main():
         jax.random.PRNGKey(0))
 
     step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
-                          top_k=1024 if a.quick else 4096)
+                          top_k=a.top_k or (1024 if a.quick else 2048))
 
     rng = np.random.default_rng(0)
     n_inputs = 4  # rotate inputs so no runtime-level memoization can hide work
