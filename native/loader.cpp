@@ -98,8 +98,13 @@ class Loader {
 
     const std::string& path = ir ? ir_paths_[index] : rgb_paths_[index];
     cv::Mat img = cv::imread(path, cv::IMREAD_UNCHANGED);
-    if (img.empty())
+    if (img.empty()) {
+      // loud, once per path: silent gray substitution would train on
+      // label-bearing blank tiles (python _read_image raises instead)
+      fprintf(stderr, "[sodt_loader] WARNING: failed to decode %s — "
+              "substituting gray tile\n", path.c_str());
       img = cv::Mat(img_size_, img_size_, CV_8UC3, cv::Scalar(114, 114, 114));
+    }
     if (img.channels() == 1) {
       cv::cvtColor(img, img, cv::COLOR_GRAY2BGR);
     } else if (img.channels() == 4) {

@@ -167,16 +167,23 @@ class NativeTileSource:
         return self.loader.wait(job)
 
 
-def _make_tile_source(dataset, img_size, prefer_native=True):
+def _make_tile_source(dataset, img_size, prefer_native=True, cache=True):
     if prefer_native and hasattr(dataset, "img_files"):
         try:
             from .native_loader import available
             if available():
-                return NativeTileSource(dataset, img_size)
+                src = NativeTileSource(dataset, img_size)
+                if not cache:
+                    src.loader.close()  # rebuild without the decode cache
+                    from .native_loader import NativeTileLoader
+                    src.loader = NativeTileLoader(
+                        dataset.img_files, dataset.ir_files, img_size,
+                        cache_gb=0.0)
+                return src
         except Exception:
             pass
     base = dataset.dataset if isinstance(dataset, RamCache) else dataset
-    return PyTileSource(RamCache(base))
+    return PyTileSource(RamCache(base) if cache else base)
 
 
 def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
@@ -197,7 +204,11 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     use_mixup = hyp.get("mixup", 0.0) > 0
     aug = make_augment_fn(img_size, hyp, use_mixup)
     m0 = max_labels_per_image
-    src = _make_tile_source(dataset, img_size, prefer_native)
+    if n < batch_size:
+        raise ValueError(
+            f"dataset has {n} images < batch_size {batch_size}; "
+            "the epoch schedule would never yield a batch")
+    src = _make_tile_source(dataset, img_size, prefer_native, cache)
 
     def schedule():
         """yield (prim, sec) index blocks forever (epoch-shuffled, or

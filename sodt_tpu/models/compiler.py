@@ -122,8 +122,10 @@ def _parse_section(defs, ch: list[int], strides: list[float], gd: float,
                 c2 = make_divisible(c2 * gw, 8)
             args = [c2, *args[1:]]
             s = 1
-            if name in ("Conv", "DWConv", "ACmix"):
+            if name in ("Conv", "DWConv"):
                 s = args[2] if len(args) > 2 else 1
+            elif name == "ACmix":
+                s = args[4] if len(args) > 4 else 1
             elif name == "Focus":
                 s = 2  # space-to-depth halves resolution
             elif name == "MixConv2d" and len(args) > 2:
@@ -403,9 +405,16 @@ def _mixconv(ld, dt):
 
 
 def _acmix(ld, dt):
+    # reference signature: ACmix(in, out, kernel_att=7, head=4,
+    # kernel_conv=3, stride=1) -> yaml args after c2: [kernel_att, head,
+    # kernel_conv, stride]
     c2, *rest = ld.args
-    s = rest[1] if len(rest) > 1 else 1
-    return L.ACmix(c2, s=s, dtype=dt, name=f"l{ld.i}")
+    ka = rest[0] if len(rest) > 0 else 7
+    head = rest[1] if len(rest) > 1 else 4
+    kc = rest[2] if len(rest) > 2 else 3
+    s = rest[3] if len(rest) > 3 else 1
+    return L.ACmix(c2, kernel_att=ka, head=head, kernel_conv=kc, s=s,
+                   dtype=dt, name=f"l{ld.i}")
 
 
 def _concat(ld, dt):

@@ -98,7 +98,9 @@ def _pick_group(num_windows: int) -> int:
 def _pallas_attention(qkv, bias, mask, nw: int, nh: int, scale: float):
     w, n, c3 = qkv.shape
     c = c3 // 3
-    g = _pick_group(nw)
+    # masked: blocks must stay inside one image's window range (g | nw);
+    # unmasked: any divisor of the total window count works
+    g = _pick_group(nw) if mask is not None else _pick_group(w)
     grid = (w // g,)
 
     qkv_spec = pl.BlockSpec((g, n, c3), lambda j: (j, 0, 0),

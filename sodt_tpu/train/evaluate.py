@@ -118,27 +118,40 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 cm.process_batch(d, labels5)
             stats.append((correct, d[:, 4], d[:, 5], tcls))
 
-            image_id = batch.get("indices", [seen - 1])[si]
-            if save_json is not None:
-                for x1, y1, x2, y2, conf_, cls_ in d:
-                    jdict.append({"image_id": int(image_id),
-                                  "category_id": int(cls_),
-                                  "bbox": [round(float(x1), 3),
-                                           round(float(y1), 3),
-                                           round(float(x2 - x1), 3),
-                                           round(float(y2 - y1), 3)],
-                                  "score": round(float(conf_), 5)})
-            if save_txt is not None:
-                import os
-                os.makedirs(save_txt, exist_ok=True)
-                with open(f"{save_txt}/{int(image_id)}.txt", "w") as fh:
-                    for x1, y1, x2, y2, conf_, cls_ in d:
-                        cx = (x1 + x2) / 2 / img_size
-                        cy = (y1 + y2) / 2 / img_size
-                        bw = (x2 - x1) / img_size
-                        bh = (y2 - y1) / img_size
-                        fh.write(f"{int(cls_)} {cx:.6f} {cy:.6f} "
-                                 f"{bw:.6f} {bh:.6f} {conf_:.5f}\n")
+            ids = batch.get("indices")
+            image_id = ids[si] if ids is not None else seen - 1
+            if save_json is not None or save_txt is not None:
+                # export in NATIVE image space like the reference
+                # (test.py:171 scale_coords before save)
+                shapes = batch.get("shapes")
+                h0, w0 = (shapes[si] if shapes is not None
+                          else (img_size, img_size))
+                dn = d.copy()
+                if (h0, w0) != (img_size, img_size):
+                    from ..ops.boxes import scale_coords
+                    dn[:, :4] = np.asarray(scale_coords(
+                        (img_size, img_size), jnp.asarray(d[:, :4]),
+                        (h0, w0)))
+                if save_json is not None:
+                    for x1, y1, x2, y2, conf_, cls_ in dn:
+                        jdict.append({"image_id": int(image_id),
+                                      "category_id": int(cls_),
+                                      "bbox": [round(float(x1), 3),
+                                               round(float(y1), 3),
+                                               round(float(x2 - x1), 3),
+                                               round(float(y2 - y1), 3)],
+                                      "score": round(float(conf_), 5)})
+                if save_txt is not None:
+                    import os
+                    os.makedirs(save_txt, exist_ok=True)
+                    with open(f"{save_txt}/{int(image_id)}.txt", "w") as fh:
+                        for x1, y1, x2, y2, conf_, cls_ in dn:
+                            cx = (x1 + x2) / 2 / w0
+                            cy = (y1 + y2) / 2 / h0
+                            bw = (x2 - x1) / w0
+                            bh = (y2 - y1) / h0
+                            fh.write(f"{int(cls_)} {cx:.6f} {cy:.6f} "
+                                     f"{bw:.6f} {bh:.6f} {conf_:.5f}\n")
 
     out: dict[str, Any] = {"seen": seen,
                            "speed_ms": 1000 * t_infer / max(seen, 1)}

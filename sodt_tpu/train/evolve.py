@@ -65,10 +65,11 @@ def mutate(hyp: dict, evolve_file: Path, rng: np.random.Generator,
                 hyp[k] = float(parent[i + 1])
 
     keys = [k for k in META if k in hyp]
-    g = np.array([META[k][0] for k in keys])
+    g = np.array([META[k][0] for k in keys], float)
     v = np.ones(len(keys))
     while (v == 1).all():
-        v = ((rng.random(len(keys)) < mp) * rng.random()
+        # per-hyp gain scales the perturbation magnitude (Train.py:752-756)
+        v = (g * (rng.random(len(keys)) < mp) * rng.random()
              * rng.standard_normal(len(keys)) * sigma + 1).clip(0.3, 3.0)
     for k, gi, vi in zip(keys, g, v):
         if gi:

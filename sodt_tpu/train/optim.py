@@ -107,7 +107,8 @@ def param_labels(params) -> Any:
 def make_optimizer(hyp: dict, params, epochs: int, nb: int, *,
                    adam: bool = False, linear_lr: bool = False,
                    accumulate: int = 1,
-                   weight_decay: float | None = None):
+                   weight_decay: float | None = None,
+                   wrap_multisteps: bool = True):
     """Build the full optax chain (grouped wd + schedules + accumulation)."""
     lr_w, lr_b, mom, _ = lr_schedules(hyp, epochs, nb, linear_lr=linear_lr,
                                       accumulate=accumulate)
@@ -134,7 +135,7 @@ def make_optimizer(hyp: dict, params, epochs: int, nb: int, *,
          "nodecay": sgd_group(lr_w, False),
          "bias": sgd_group(lr_b, False)},
         param_labels(params))
-    if accumulate > 1:
+    if accumulate > 1 and wrap_multisteps:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx
 

@@ -22,8 +22,11 @@ def make_sam_optimizer(hyp: dict, params, epochs: int, nb: int, *,
                        rho: float = 0.05, adam: bool = False,
                        linear_lr: bool = False, accumulate: int = 1):
     """SAM(base) with the reference's rho=0.05 default (sam.py:7)."""
+    # schedules calibrated for `accumulate`, but the MultiSteps wrapper goes
+    # OUTSIDE the SAM composition (ascent must see accumulated gradients)
     base = make_optimizer(hyp, params, epochs=epochs, nb=nb, adam=adam,
-                          linear_lr=linear_lr, accumulate=1)
+                          linear_lr=linear_lr, accumulate=accumulate,
+                          wrap_multisteps=False)
     adv = optax.chain(optax.contrib.normalize(), optax.scale(rho))
     tx = optax.contrib.sam(base, adv, opaque_mode=True)
     if accumulate > 1:

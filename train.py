@@ -16,7 +16,7 @@ import argparse
 from sodt_tpu.train.trainer import TrainConfig, train
 
 
-def parse_args(argv=None) -> TrainConfig:
+def parse_args(argv=None, return_evolve: bool = False):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", default="configs/model.yaml",
                    help="model yaml")
@@ -57,7 +57,7 @@ def parse_args(argv=None) -> TrainConfig:
     if a.platform:
         import jax
         jax.config.update("jax_platforms", a.platform)
-    return TrainConfig(cfg=a.cfg, data=a.data, hyp=a.hyp, epochs=a.epochs,
+    tc = TrainConfig(cfg=a.cfg, data=a.data, hyp=a.hyp, epochs=a.epochs,
                        batch_size=a.batch_size, img_size=a.img_size,
                        input_mode=a.input_mode, sr=a.sr,
                        sr_factor=a.sr_factor, adam=a.adam,
@@ -68,23 +68,18 @@ def parse_args(argv=None) -> TrainConfig:
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
                        multi_scale=a.multi_scale, nbs=a.nbs)
+    if return_evolve:
+        return tc, a.evolve
+    return tc
 
 
 def _main():
-    import sys
-    argv = sys.argv[1:]
-    tc = parse_args(argv)
-    if "--evolve" in " ".join(argv):
-        import argparse
-        gens = 0
-        for i, a in enumerate(argv):
-            if a == "--evolve":
-                gens = int(argv[i + 1])
-        if gens > 0:
-            from sodt_tpu.train.evolve import evolve
-            best_hyp, best_fit = evolve(tc, generations=gens, seed=tc.seed)
-            print({"best_fitness": best_fit})
-            return
+    tc, gens = parse_args(return_evolve=True)
+    if gens > 0:
+        from sodt_tpu.train.evolve import evolve
+        best_hyp, best_fit = evolve(tc, generations=gens, seed=tc.seed)
+        print({"best_fitness": best_fit})
+        return
     metrics = train(tc)
     print({k: v for k, v in metrics.items()
            if not isinstance(v, dict) or k == "val_loss"})
