@@ -88,9 +88,24 @@ def _kernel_unmasked(qkv_ref, bias_ref, out_ref, *, nh, scale):
     _kernel(qkv_ref, bias_ref, out_ref, nh=nh, scale=scale, masked=False)
 
 
-def _pick_group(num_windows: int) -> int:
-    g = min(num_windows, 16)
-    while num_windows % g:
+def _vmem_bytes(g: int, n: int, c3: int, nh: int, itemsize: int) -> int:
+    """Rough VMEM footprint: double-buffered qkv in + out blocks, the full
+    bias, one mask block, and the per-head f32 score/prob scratch."""
+    c = c3 // 3
+    io = 2 * (g * n * c3 * itemsize + g * n * c * itemsize)
+    bias = nh * n * n * 4
+    mask = g * n * n * 4
+    scores = 2 * g * n * n * 4
+    return io + bias + mask + scores
+
+
+def _pick_group(num_windows: int, n: int, c3: int, nh: int,
+                itemsize: int, cap: int = 32,
+                budget: int = 12 * 1024 * 1024) -> int:
+    """Largest divisor of num_windows up to `cap` fitting the VMEM budget."""
+    g = min(num_windows, cap)
+    while g > 1 and (num_windows % g or
+                     _vmem_bytes(g, n, c3, nh, itemsize) > budget):
         g -= 1
     return max(g, 1)
 
@@ -98,9 +113,11 @@ def _pick_group(num_windows: int) -> int:
 def _pallas_attention(qkv, bias, mask, nw: int, nh: int, scale: float):
     w, n, c3 = qkv.shape
     c = c3 // 3
+    itemsize = jnp.dtype(qkv.dtype).itemsize
     # masked: blocks must stay inside one image's window range (g | nw);
     # unmasked: any divisor of the total window count works
-    g = _pick_group(nw) if mask is not None else _pick_group(w)
+    nh_ = bias.shape[0]
+    g = _pick_group(nw if mask is not None else w, n, c3, nh_, itemsize)
     grid = (w // g,)
 
     qkv_spec = pl.BlockSpec((g, n, c3), lambda j: (j, 0, 0),
