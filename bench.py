@@ -48,8 +48,8 @@ def main():
     from sodt_tpu.train.evaluate import make_eval_step
 
     img_size = a.img_size or (128 if a.quick else 512)
-    batch = a.batch_size or (2 if a.quick else 64)
-    iters = a.iters or (3 if a.quick else 20)
+    batch = a.batch_size or (2 if a.quick else 128)
+    iters = a.iters or (3 if a.quick else 10)
 
     model = build_model(a.cfg, ch_in=4, dtype=jnp.bfloat16,
                         input_mode="RGB+IR")
