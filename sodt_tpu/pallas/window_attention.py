@@ -166,6 +166,10 @@ def _fwa_fwd(qkv, bias, mask, nw, nh, scale):
 
 def _fwa_bwd(nw, nh, scale, res, g):
     qkv, bias, mask = res
+    if jax.default_backend() not in ("cpu",):
+        dqkv, dbias = _pallas_attention_bwd(qkv, bias, mask, nw, nh, scale,
+                                            g)
+        return dqkv, dbias, None
     _, vjp = jax.vjp(
         lambda q_, b_: reference_attention_qkv(q_, b_, mask, nw, nh, scale),
         qkv, bias)
@@ -190,3 +194,112 @@ def window_attention_core(qkv, bias, mask, nw: int, nh: int, scale: float,
     if use_pallas:
         return fused_window_attention(qkv, bias, mask, nw, nh, scale)
     return reference_attention_qkv(qkv, bias, mask, nw, nh, scale)
+
+
+# ----------------------------------------------------------- backward pass
+
+def _bwd_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
+                nh: int, scale: float, mask_ref=None):
+    """Recompute-scores attention backward, one window-group per program.
+
+    dV = P^T dO;  dP = dO V^T;  dS = P*(dP - rowsum(dP*P));
+    dQ = scale * dS K;  dK = scale * dS^T Q;  dbias[h] += sum_g dS.
+    dbias accumulates across the sequential TPU grid into the same block.
+    """
+    j = pl.program_id(0)
+    qkv = qkv_ref[...]                       # (G, N, 3C)
+    gy = g_ref[...]                          # (G, N, C)
+    g_, n, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+
+    @pl.when(j == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(nh):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
+        v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
+        do = gy[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[h][None]
+        if mask_ref is not None:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)        # (G, N, N) f32
+
+        # dV = P^T @ dO  (per window)
+        dv = jax.lax.dot_general(
+            p, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dP = dO @ V^T
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+        dq = scale * jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk = scale * jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, :, c + h * hd:c + (h + 1) * hd] = dk.astype(
+            dqkv_ref.dtype)
+        dqkv_ref[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype)
+        dbias_ref[h] = dbias_ref[h] + jnp.sum(ds, axis=0)
+
+
+def _pallas_attention_bwd(qkv, bias, mask, nw: int, nh: int, scale: float,
+                          gy):
+    w, n, c3 = qkv.shape
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    # backward holds ~2x the forward live set (p, ds, dp) -> halve the budget
+    g = _pick_group(nw if mask is not None else w, n, c3, nh, itemsize,
+                    budget=6 * 1024 * 1024)
+    grid = (w // g,)
+
+    qkv_spec = pl.BlockSpec((g, n, c3), lambda j: (j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, n, n), lambda j: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((g, n, c3 // 3), lambda j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dqkv_spec = pl.BlockSpec((g, n, c3), lambda j: (j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    # all programs write the same dbias block; the TPU grid is sequential,
+    # so read-modify-write accumulation is well-defined
+    dbias_spec = pl.BlockSpec((nh, n, n), lambda j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                 jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+
+    if mask is None:
+        kern = functools.partial(_bwd_kernel, nh=nh, scale=scale)
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[qkv_spec, bias_spec, g_spec],
+            out_specs=(dqkv_spec, dbias_spec),
+            out_shape=out_shape,
+        )(qkv, bias, gy)
+
+    def kern(qkv_ref, bias_ref, g_ref, mask_ref, dqkv_ref, dbias_ref):
+        _bwd_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                    nh=nh, scale=scale, mask_ref=mask_ref)
+
+    nblocks_per_img = nw // g
+    mask_spec = pl.BlockSpec(
+        (g, n, n), lambda j: (j % nblocks_per_img, 0, 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[qkv_spec, bias_spec, g_spec, mask_spec],
+        out_specs=(dqkv_spec, dbias_spec),
+        out_shape=out_shape,
+    )(qkv, bias, gy, jnp.asarray(mask, jnp.float32))

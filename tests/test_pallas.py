@@ -88,3 +88,32 @@ def test_custom_vjp_gradients_match_reference():
     for a, b in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backward_matches_autodiff():
+    """The hand-written backward kernel (interpret mode) matches jax.vjp of
+    the reference attention."""
+    from sodt_tpu.pallas.window_attention import _pallas_attention_bwd
+    nh, n, c = 2, 64, 32
+    nw = 4
+    w = 2 * nw
+    qkv = _rand((w, n, 3 * c), 21)
+    bias = _rand((nh, n, n), 22)
+    gy = _rand((w, n, c), 23)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(16, 16, 8, 2)
+
+    for m in (None, mask):
+        _, vjp = jax.vjp(
+            lambda q_, b_: reference_attention_qkv(q_, b_, m, nw, nh, scale),
+            qkv, bias)
+        want_dqkv, want_dbias = vjp(gy)
+        with interpret_mode():
+            got_dqkv, got_dbias = _pallas_attention_bwd(
+                qkv, bias, m, nw, nh, scale, gy)
+        np.testing.assert_allclose(np.asarray(got_dqkv),
+                                   np.asarray(want_dqkv),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_dbias),
+                                   np.asarray(want_dbias),
+                                   rtol=2e-3, atol=2e-3)
