@@ -56,11 +56,22 @@ def build(a, img_size: int):
 
 
 def run_map(a, img_size: int):
+    from pathlib import Path
     model, variables, ds, nc, names = build(a, img_size)
+    save_dir = Path(a.save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
     m = evaluate(model, variables,
                  make_eval_batches(ds, a.batch_size, img_size),
                  nc=nc, img_size=img_size, conf_thres=a.conf_thres,
-                 iou_thres=a.iou_thres, names=names, verbose=a.verbose)
+                 iou_thres=a.iou_thres, names=names, verbose=a.verbose,
+                 confusion=a.plots,
+                 save_json=str(save_dir / "predictions.json")
+                 if a.save_json else None,
+                 save_txt=str(save_dir / "labels") if a.save_txt else None)
+    if a.plots and "confusion_matrix" in m:
+        from sodt_tpu.utils.plots import plot_confusion_matrix
+        plot_confusion_matrix(m["confusion_matrix"],
+                              save_dir / "confusion_matrix.png", names)
     return m
 
 
@@ -80,6 +91,11 @@ def main(argv=None):
     p.add_argument("--synthetic-n", type=int, default=16)
     p.add_argument("--no-bf16", action="store_false", dest="bf16")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--plots", action="store_true",
+                   help="write PR/confusion plots to --save-dir")
+    p.add_argument("--save-dir", default="runs/val/exp")
+    p.add_argument("--save-json", action="store_true")
+    p.add_argument("--save-txt", action="store_true")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     a = p.parse_args(argv)
     if a.platform:
