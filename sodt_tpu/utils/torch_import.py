@@ -32,7 +32,7 @@ def set_in(tree: dict, path: list[str], value):
     node = tree
     for k in path[:-1]:
         node = node.setdefault(k, {})
-    node[path[-1]] = np.asarray(value)
+    node[path[-1]] = value if isinstance(value, dict) else np.asarray(value)
 
 
 def import_image_encoder(state_dict: dict[str, Any]):
@@ -104,3 +104,51 @@ def import_conv_bn(sd: dict, src: str, params: dict, stats: dict, dst: str):
     set_in(params, f"{dst}/bn/bias".split("/"), sd[f"{src}.bn.bias"])
     set_in(stats, f"{dst}/bn/mean".split("/"), sd[f"{src}.bn.running_mean"])
     set_in(stats, f"{dst}/bn/var".split("/"), sd[f"{src}.bn.running_var"])
+
+
+def _import_c3(sd, src, params, stats, dst, n_bottleneck):
+    for cv in ("cv1", "cv2", "cv3"):
+        p, s = {}, {}
+        import_conv_bn(sd, f"{src}.{cv}", p, s, cv)
+        set_in(params, [dst, cv], p[cv])
+        set_in(stats, [dst, cv], s[cv])
+    for i in range(n_bottleneck):
+        for cv in ("cv1", "cv2"):
+            p, s = {}, {}
+            import_conv_bn(sd, f"{src}.m.{i}.{cv}", p, s, cv)
+            set_in(params, [dst, f"m{i}", cv], p[cv])
+            set_in(stats, [dst, f"m{i}", cv], s[cv])
+
+
+def import_flagship_model(state_dict: dict[str, Any], spec):
+    """Full reference Model (split mode) -> our DetectionModel variables.
+
+    Reference layout: image_encoder.* (ImageEncoderViT), detect.{k}.* for
+    head layers (nn.Sequential indices), detect.{last}.m.{i} for the Detect
+    convs. Our names: l0 (encoder), l{3+k} head layers, detect.m{i}.
+    """
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in state_dict.items()}
+    enc_sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+              if k.startswith("image_encoder.")}
+    params: dict = {"l0": import_image_encoder(enc_sd)}
+    stats: dict = {}
+
+    for ld in spec.head:
+        if ld.name == "Detect":
+            na = len(spec.anchors[0]) // 2
+            k = ld.i - 3
+            for mi in range(len(spec.detect_from)):
+                w = sd[f"detect.{k}.m.{mi}.weight"]
+                b = sd[f"detect.{k}.m.{mi}.bias"]
+                set_in(params, ["detect", f"m{mi}", "kernel"], _conv(w))
+                set_in(params, ["detect", f"m{mi}", "bias"], b)
+            continue
+        src = f"detect.{ld.i - 3}"
+        dst = f"l{ld.i}"
+        if ld.name == "Conv":
+            import_conv_bn(sd, src, params, stats, dst)
+        elif ld.name == "C3":
+            _import_c3(sd, src, params, stats, dst, ld.args[1])
+        # Upsample / Concat carry no parameters
+    return {"params": params, "batch_stats": stats}

@@ -275,3 +275,63 @@ def test_full_encoder_parity(ref):
     for o, ro in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
                                    atol=5e-4)
+
+
+def test_full_model_parity(ref):
+    """THE golden test: the complete reference Model (encoder + FPN head +
+    Detect) built from /root/reference/models/model.yaml, weights imported
+    into our DetectionModel, same 512px input — raw Detect outputs and the
+    decoded predictions must match."""
+    import types
+    for name in ["torchvision", "torchvision.ops", "seaborn", "xlsxwriter",
+                 "pafy", "wandb", "thop", "numba"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].nms = None
+    sys.modules["numba"].jit = lambda *a, **k: (
+        a[0] if a and callable(a[0]) else (lambda f: f))
+
+    import importlib
+    rmodel = importlib.import_module("basics.models.model")
+    import jax
+    import jax.numpy as jnp
+    from sodt_tpu.models import build_model
+    from sodt_tpu.models.detect import decode_detections
+    from sodt_tpu.utils.torch_import import import_flagship_model
+
+    torch.manual_seed(42)
+    tm = rmodel.Model("/root/reference/models/model.yaml",
+                      input_mode="RGB+IR", ch_steam=4, ch=4, nc=8).eval()
+    # randomize BN stats (fresh init has mean 0 var 1 — too easy)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.1)
+            m.running_var.uniform_(0.8, 1.2)
+            m.eps = 1e-3  # runtime convention (initialize_weights)
+
+    rgb = torch.randn(1, 3, 512, 512)
+    ir = torch.randn(1, 3, 512, 512)
+    with torch.no_grad():
+        dec_ref, raw_ref, _ = tm(rgb, ir, input_mode="RGB+IR")
+    dec_ref = dec_ref.numpy()
+
+    ours = build_model("/root/repo/configs/model.yaml", ch_in=4, nc=8,
+                       input_mode="RGB+IR")
+    variables = import_flagship_model(tm.state_dict(), ours.spec)
+    out = ours.apply(variables, t2j(rgb.permute(0, 2, 3, 1)),
+                     t2j(ir.permute(0, 2, 3, 1)), train=False)
+    raw = out["raw"][0]  # (1, 128, 128, 3, 13)
+
+    # reference raw layout: (1, na, ny, nx, no)
+    want_raw = raw_ref[0].numpy().transpose(0, 2, 3, 1, 4)
+    np.testing.assert_allclose(np.asarray(raw), want_raw, atol=2e-3,
+                               rtol=1e-2)
+
+    anchors = np.asarray(ours.spec.anchors, np.float32).reshape(1, 3, 2)
+    dec = np.asarray(decode_detections(out["raw"], anchors,
+                                       ours.spec.detect_strides))
+    # candidate orders differ ((ny,nx,na) vs (na,ny,nx)); compare as sets
+    # via sorted flattened boxes+scores
+    a = np.sort(dec.reshape(-1, 13), axis=0)
+    b = np.sort(dec_ref.reshape(-1, 13), axis=0)
+    np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
