@@ -19,14 +19,24 @@ IMG_EXT = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp"}
 VID_EXT = {".mp4", ".avi", ".mov", ".mkv"}
 
 
-def iter_sources(source: str):
-    """Yield (name, rgb uint8 HWC) frames from file/folder/video."""
+def iter_sources(source: str, want_ir: bool = False):
+    """Yield (name, rgb uint8 HWC, ir-or-None) frames from file/folder/video.
+
+    For VEDAI-style pairs, *_co.png images pick up their *_ir.png sibling
+    when present (path derivation parity with the dataset loader)."""
+    from sodt_tpu.data.vedai import _read_image, derive_ir_path
     p = Path(source)
     files = sorted(p.glob("*")) if p.is_dir() else [p]
     for f in files:
         if f.suffix.lower() in IMG_EXT:
-            from sodt_tpu.data.vedai import _read_image
-            yield str(f), _read_image(str(f))
+            if "_ir" in f.stem and want_ir:
+                continue  # consumed as a pair partner
+            ir = None
+            if want_ir:
+                irp = Path(derive_ir_path(str(f)))
+                if irp.exists() and irp != f:
+                    ir = _read_image(str(irp))
+            yield str(f), _read_image(str(f)), ir
         elif f.suffix.lower() in VID_EXT:
             import cv2
             cap = cv2.VideoCapture(str(f))
@@ -35,7 +45,7 @@ def iter_sources(source: str):
                 ok, frame = cap.read()
                 if not ok:
                     break
-                yield f"{f}#{i}", frame[..., ::-1].copy()
+                yield f"{f}#{i}", frame[..., ::-1].copy(), None
                 i += 1
             cap.release()
 
@@ -50,7 +60,8 @@ def main(argv=None):
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--conf-thres", type=float, default=0.25)
     ap.add_argument("--iou-thres", type=float, default=0.45)
-    ap.add_argument("--input_mode", default="RGB")
+    ap.add_argument("--input_mode", default="RGB",
+                    choices=["RGB", "IR", "RGB+IR"])
     ap.add_argument("--save-dir", default="runs/detect/exp")
     ap.add_argument("--save-txt", action="store_true")
     ap.add_argument("--save-img", action="store_true")
@@ -89,11 +100,19 @@ def main(argv=None):
     (save_dir / "labels").mkdir(parents=True, exist_ok=True)
 
     results = []
-    for name, rgb in iter_sources(a.source):
+    want_ir = "IR" in a.input_mode
+    for name, rgb, ir_img in iter_sources(a.source, want_ir=want_ir):
         h0, w0 = rgb.shape[:2]
         img = letterbox_image(jnp.asarray(rgb, jnp.float32), a.img_size,
                               scaleup=True) / 255.0
-        dets, valid, _ = step(variables, img[None], img[None])
+        if ir_img is not None:
+            if ir_img.shape[-1] == 1:
+                ir_img = np.repeat(ir_img, 3, -1)
+            ir = letterbox_image(jnp.asarray(ir_img, jnp.float32),
+                                 a.img_size, scaleup=True) / 255.0
+        else:
+            ir = img
+        dets, valid, _ = step(variables, img[None], ir[None])
         d = np.asarray(dets[0])[np.asarray(valid[0])]
         if d.shape[0]:
             d[:, :4] = np.asarray(scale_coords(
