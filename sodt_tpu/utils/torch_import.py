@@ -35,9 +35,10 @@ def set_in(tree: dict, path: list[str], value):
     node[path[-1]] = value if isinstance(value, dict) else np.asarray(value)
 
 
-def import_image_encoder(state_dict: dict[str, Any]):
-    """Reference ImageEncoderViT state_dict -> (params, ()) for our
-    models.backbone.ImageEncoderViT (name mapping documented inline)."""
+def import_image_encoder(state_dict: dict[str, Any], mono: bool = False):
+    """Reference ImageEncoderViT state_dict -> params for our
+    models.backbone.ImageEncoderViT (name mapping documented inline).
+    mono=True maps the backbone_vit_mono variant (no channel attention)."""
     params: dict = {}
     sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in state_dict.items()}
@@ -45,15 +46,16 @@ def import_image_encoder(state_dict: dict[str, Any]):
     def put(path, value):
         set_in(params, path.split("/"), value)
 
-    for ch in ("r", "g", "b", "i"):
-        put(f"channel_embed_{ch}/proj/kernel",
-            _conv(sd[f"channel_embed_{ch}.proj.weight"]))
-        put(f"channel_embed_{ch}/proj/bias",
-            sd[f"channel_embed_{ch}.proj.bias"])
+    if not mono:
+        for ch in ("r", "g", "b", "i"):
+            put(f"channel_embed_{ch}/proj/kernel",
+                _conv(sd[f"channel_embed_{ch}.proj.weight"]))
+            put(f"channel_embed_{ch}/proj/bias",
+                sd[f"channel_embed_{ch}.proj.bias"])
 
-    for i in range(1, 5):
-        put(f"chan_block/norm{i}/scale", sd[f"chan_block.norm{i}.weight"])
-        put(f"chan_block/norm{i}/bias", sd[f"chan_block.norm{i}.bias"])
+        for i in range(1, 5):
+            put(f"chan_block/norm{i}/scale", sd[f"chan_block.norm{i}.weight"])
+            put(f"chan_block/norm{i}/bias", sd[f"chan_block.norm{i}.bias"])
 
     put("patch_embed/proj/kernel", _conv(sd["patch_embed.proj.weight"]))
     put("patch_embed/proj/bias", sd["patch_embed.proj.bias"])

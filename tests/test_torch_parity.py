@@ -335,3 +335,29 @@ def test_full_model_parity(ref):
     a = np.sort(dec.reshape(-1, 13), axis=0)
     b = np.sort(dec_ref.reshape(-1, 13), axis=0)
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
+
+
+def test_mono_encoder_parity(ref):  # ref fixture installs shims/path
+    """backbone_vit_mono's live path (plain RGB patch embed, same stages)
+    vs our mono=True encoder with imported weights, at 512px."""
+    import importlib
+    refm = importlib.import_module("basics.models.backbone_vit_mono")
+    from sodt_tpu.models.backbone import ImageEncoderViT as OurEncoder
+    from sodt_tpu.utils.torch_import import import_image_encoder
+
+    torch.manual_seed(13)
+    tenc = refm.ImageEncoderViT(img_size=512, patch_size=4, embed_dim=192,
+                                in_chans=3, out_chans=256,
+                                window_size=4).eval()
+    x = torch.randn(1, 3, 512, 512)
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in tenc(x)]
+
+    sd = tenc.state_dict()
+    params = import_image_encoder(sd, mono=True)
+    ours = OurEncoder(img_size=512, patch_size=4, embed_dim=192, in_chans=3,
+                      out_chans=256, window_size=4, mono=True)
+    outs = ours.apply({"params": params}, t2j(x.permute(0, 2, 3, 1)))
+    for o, ro in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
+                                   atol=5e-4)
