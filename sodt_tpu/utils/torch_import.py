@@ -154,3 +154,64 @@ def import_flagship_model(state_dict: dict[str, Any], spec):
             _import_c3(sd, src, params, stats, dst, ld.args[1])
         # Upsample / Concat carry no parameters
     return {"params": params, "batch_stats": stats}
+
+
+def import_swinv2_encoder(state_dict: dict[str, Any]):
+    """Reference backbone_swinv2 ImageEncoderViT -> our ImageEncoderSwinV2
+    params. Layers: channel embeds (24d), chan_block norms, 1x1 patch embed,
+    4 BasicLayers of V2 blocks (logit_scale, cpb_mlp, split q/v bias,
+    post-norms), PatchMerging downsamples, necks."""
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in state_dict.items()}
+    params: dict = {}
+
+    def put(path, value):
+        set_in(params, path.split("/"), value)
+
+    for ch in ("r", "g", "b", "i"):
+        put(f"channel_embed_{ch}/proj/kernel",
+            _conv(sd[f"channel_embed_{ch}.proj.weight"]))
+        put(f"channel_embed_{ch}/proj/bias",
+            sd[f"channel_embed_{ch}.proj.bias"])
+    for i in range(1, 5):
+        put(f"chan_block/norm{i}/scale", sd[f"chan_block.norm{i}.weight"])
+        put(f"chan_block/norm{i}/bias", sd[f"chan_block.norm{i}.bias"])
+    put("patch_embed/proj/kernel", _conv(sd["patch_embed.proj.weight"]))
+    put("patch_embed/proj/bias", sd["patch_embed.proj.bias"])
+
+    depths = (2, 2, 6, 2)
+    for li, depth in enumerate(depths):
+        for bi in range(depth):
+            src = f"layers.{li}.blocks.{bi}"
+            dst = f"layer{li}_blk{bi}"
+            put(f"{dst}/norm1/scale", sd[f"{src}.norm1.weight"])
+            put(f"{dst}/norm1/bias", sd[f"{src}.norm1.bias"])
+            put(f"{dst}/norm2/scale", sd[f"{src}.norm2.weight"])
+            put(f"{dst}/norm2/bias", sd[f"{src}.norm2.bias"])
+            put(f"{dst}/attn/logit_scale", sd[f"{src}.attn.logit_scale"])
+            put(f"{dst}/attn/cpb_mlp0/kernel",
+                _lin(sd[f"{src}.attn.cpb_mlp.0.weight"]))
+            put(f"{dst}/attn/cpb_mlp0/bias",
+                sd[f"{src}.attn.cpb_mlp.0.bias"])
+            put(f"{dst}/attn/cpb_mlp1/kernel",
+                _lin(sd[f"{src}.attn.cpb_mlp.2.weight"]))
+            put(f"{dst}/attn/qkv/kernel", _lin(sd[f"{src}.attn.qkv.weight"]))
+            put(f"{dst}/attn/q_bias", sd[f"{src}.attn.q_bias"])
+            put(f"{dst}/attn/v_bias", sd[f"{src}.attn.v_bias"])
+            put(f"{dst}/attn/proj/kernel",
+                _lin(sd[f"{src}.attn.proj.weight"]))
+            put(f"{dst}/attn/proj/bias", sd[f"{src}.attn.proj.bias"])
+            put(f"{dst}/mlp_fc1/kernel", _lin(sd[f"{src}.mlp.fc1.weight"]))
+            put(f"{dst}/mlp_fc1/bias", sd[f"{src}.mlp.fc1.bias"])
+            put(f"{dst}/mlp_fc2/kernel", _lin(sd[f"{src}.mlp.fc2.weight"]))
+            put(f"{dst}/mlp_fc2/bias", sd[f"{src}.mlp.fc2.bias"])
+        if li < len(depths) - 1:
+            src = f"layers.{li}.downsample"
+            put(f"downsample{li}/reduction/kernel",
+                _lin(sd[f"{src}.reduction.weight"]))
+            put(f"downsample{li}/norm/scale", sd[f"{src}.norm.weight"])
+            put(f"downsample{li}/norm/bias", sd[f"{src}.norm.bias"])
+
+    for neck in ("neck1", "neck2", "neck3"):
+        put(f"{neck}/kernel", _conv(sd[f"{neck}.weight"]))
+    return params

@@ -361,3 +361,27 @@ def test_mono_encoder_parity(ref):  # ref fixture installs shims/path
     for o, ro in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
                                    atol=5e-4)
+
+
+def test_swinv2_full_encoder_parity(ref):
+    """Full SwinV2 variant encoder golden at 512px (cosine attention +
+    cpb-MLP bias + post-norm stack, backbone_swinv2.py:13-232)."""
+    import importlib
+    refv2 = importlib.import_module("basics.models.backbone_swinv2")
+    from sodt_tpu.models.swinv2 import ImageEncoderSwinV2
+    from sodt_tpu.utils.torch_import import import_swinv2_encoder
+
+    torch.manual_seed(17)
+    tenc = refv2.ImageEncoderViT(img_size=512, patch_size=4, in_chans=4,
+                                 embed_dim=96, out_chans=256,
+                                 window_size=8).eval()
+    x = torch.randn(1, 4, 512, 512)
+    with torch.no_grad():
+        ref_outs = [o.numpy() for o in tenc(x)]
+
+    params = import_swinv2_encoder(tenc.state_dict())
+    ours = ImageEncoderSwinV2(img_size=512, patch_size=4, in_chans=4)
+    outs = ours.apply({"params": params}, t2j(x.permute(0, 2, 3, 1)))
+    for o, ro in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
+                                   atol=1e-3, rtol=1e-2)
