@@ -47,6 +47,7 @@ class ImageEncoderViT(nn.Module):
     use_abs_pos: bool = True
     chan_embed_dim: int = 48
     mono: bool = False  # backbone_vit_mono.py variant: plain RGB patch embed
+    remat: bool = False  # jax.checkpoint each Swin block (memory for FLOPs)
     dtype: DType = jnp.float32
 
     @nn.compact
@@ -94,11 +95,13 @@ class ImageEncoderViT(nn.Module):
 
         x = x.reshape(bsz, h * w, c)
 
+        Blk = nn.remat(SwinBlock) if self.remat else SwinBlock
+
         # stage 1 @ (h, w), taps at blocks 4 and 5
         shifts = (0, 2, 0, 2, 0, 2)
         taps = []
         for i in range(6):
-            x = SwinBlock(dim=self.embed_dim, input_resolution=(h, w),
+            x = Blk(dim=self.embed_dim, input_resolution=(h, w),
                           num_heads=self.num_heads, window_size=8,
                           shift_size=shifts[i], mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias,
@@ -114,7 +117,7 @@ class ImageEncoderViT(nn.Module):
         # stage 2 @ (h/2, w/2)
         h2, w2, c2 = h // 2, w // 2, 2 * self.embed_dim
         for i in range(4):
-            x = SwinBlock(dim=c2, input_resolution=(h2, w2),
+            x = Blk(dim=c2, input_resolution=(h2, w2),
                           num_heads=self.num_heads, window_size=8,
                           shift_size=shifts[i], mlp_ratio=self.mlp_ratio,
                           qkv_bias=self.qkv_bias,
@@ -126,7 +129,7 @@ class ImageEncoderViT(nn.Module):
 
         # stage 3 @ (h/4, w/4): one global block (window = full map)
         h3, w3, c3 = h2 // 2, w2 // 2, 4 * self.embed_dim
-        x = SwinBlock(dim=c3, input_resolution=(h3, w3),
+        x = Blk(dim=c3, input_resolution=(h3, w3),
                       num_heads=self.num_heads, window_size=32, shift_size=0,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       linear_mlp=True, dtype=self.dtype, name="stage3_0")(x)

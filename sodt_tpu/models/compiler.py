@@ -295,8 +295,10 @@ def parse_config(cfg, ch_in: int = 3, nc: int | None = None,
     )
 
 
-def build_module(ld: LayerDef, dtype) -> Any:
+def build_module(ld: LayerDef, dtype, remat: bool = False) -> Any:
     """Instantiate the flax module for one LayerDef (registry dispatch)."""
+    if ld.name in ("ImageEncoderViT", "ImageEncoderViTMono") and remat:
+        return MODULE_REGISTRY[ld.name](ld, dtype, remat=True)
     return MODULE_REGISTRY[ld.name](ld, dtype)
 
 
@@ -354,14 +356,15 @@ def _mf(ld, dt):
                 name=f"l{ld.i}")
 
 
-def _encoder(ld, dt):
+def _encoder(ld, dt, remat=False):
     kw = dict(ld.args)
-    return ImageEncoderViT(dtype=dt, name=f"l{ld.i}", **kw)
+    return ImageEncoderViT(dtype=dt, remat=remat, name=f"l{ld.i}", **kw)
 
 
-def _encoder_mono(ld, dt):
+def _encoder_mono(ld, dt, remat=False):
     kw = dict(ld.args)
-    return ImageEncoderViT(dtype=dt, mono=True, name=f"l{ld.i}", **kw)
+    return ImageEncoderViT(dtype=dt, mono=True, remat=remat,
+                           name=f"l{ld.i}", **kw)
 
 
 def _encoder_swinv2(ld, dt):
@@ -453,11 +456,12 @@ MODULE_REGISTRY = {
 
 def build_model(cfg, *, ch_in: int = 3, nc: int | None = None, anchors=None,
                 sr: bool = False, factor: int = 2, dtype=None,
-                input_mode: str = "RGB+IR"):
+                input_mode: str = "RGB+IR", remat: bool = False):
     """Config -> DetectionModel (flax). See model.DetectionModel."""
     from .model import DetectionModel
     import jax.numpy as jnp
 
     spec = parse_config(cfg, ch_in=ch_in, nc=nc, anchors=anchors)
     return DetectionModel(spec=spec, sr=sr, sr_factor=factor,
-                          input_mode=input_mode, dtype=dtype or jnp.float32)
+                          input_mode=input_mode, remat=remat,
+                          dtype=dtype or jnp.float32)

@@ -34,10 +34,11 @@ class DetectionModel(nn.Module):
     sr: bool = False
     sr_factor: int = 2
     input_mode: str = "RGB+IR"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone_mods = [build_module(ld, self.dtype)
+        self.backbone_mods = [build_module(ld, self.dtype, remat=self.remat)
                               for ld in self.spec.backbone
                               if ld.name != "Detect"]
         self.head_mods = [build_module(ld, self.dtype)

@@ -62,6 +62,7 @@ class TrainConfig:
     eval_every: int = 1
     max_labels: int = 30
     bf16: bool = True
+    remat: bool = False              # checkpoint encoder blocks (big batches)
     resume: str = ""
     log_every: int = 10
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
@@ -125,7 +126,8 @@ def train(tc: TrainConfig) -> dict:
 
     model = build_model(tc.cfg, ch_in=ch_in, nc=nc, sr=tc.sr,
                         factor=tc.sr_factor, dtype=dtype,
-                        input_mode=tc.input_mode, anchors=anchors_override)
+                        input_mode=tc.input_mode, anchors=anchors_override,
+                        remat=tc.remat)
     nb = max(len(train_ds) // tc.batch_size, 1)
     accumulate = max(round(tc.nbs / tc.batch_size), 1)
 

@@ -44,6 +44,8 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--no-bf16", action="store_false", dest="bf16")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks (fit bigger batches)")
     p.add_argument("--resume", default="")
     p.add_argument("--noautoanchor", action="store_false", dest="autoanchor")
     p.add_argument("--image-weights", action="store_true")
@@ -64,6 +66,7 @@ def parse_args(argv=None, return_evolve: bool = False):
                        linear_lr=a.linear_lr, synthetic=a.synthetic,
                        synthetic_n=a.synthetic_n, save_dir=a.save_dir,
                        seed=a.seed, eval_every=a.eval_every, bf16=a.bf16,
+                       remat=a.remat,
                        resume=a.resume, down_factor=a.down_factor,
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
