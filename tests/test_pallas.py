@@ -117,3 +117,46 @@ def test_pallas_backward_matches_autodiff():
         np.testing.assert_allclose(np.asarray(got_dbias),
                                    np.asarray(want_dbias),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_nhwc_strip_kernel_matches_reference():
+    from sodt_tpu.pallas.window_attention import (
+        reference_attention_nhwc, _pallas_attention_nhwc)
+    nh, c, ws = 2, 32, 8
+    b, h, w = 2, 16, 24
+    qkv = _rand((b, h, w, 3 * c), 31)
+    bias = _rand((nh, ws * ws, ws * ws), 32)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(h, w, ws, 2)
+    for m in (None, mask):
+        ref = reference_attention_nhwc(qkv, bias, m, ws, nh, scale)
+        with interpret_mode():
+            out = _pallas_attention_nhwc(qkv, bias, m, ws, nh, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_nhwc_strip_backward_matches_autodiff():
+    from sodt_tpu.pallas.window_attention import (
+        reference_attention_nhwc, _pallas_attention_nhwc_bwd)
+    nh, c, ws = 2, 16, 4
+    b, h, w = 1, 8, 12
+    qkv = _rand((b, h, w, 3 * c), 41)
+    bias = _rand((nh, ws * ws, ws * ws), 42)
+    gy = _rand((b, h, w, c), 43)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(h, w, ws, 2)
+    for m in (None, mask):
+        _, vjp = jax.vjp(
+            lambda q_, b_: reference_attention_nhwc(q_, b_, m, ws, nh,
+                                                    scale), qkv, bias)
+        want_dqkv, want_dbias = vjp(gy)
+        with interpret_mode():
+            got_dqkv, got_dbias = _pallas_attention_nhwc_bwd(
+                qkv, bias, m, ws, nh, scale, gy)
+        np.testing.assert_allclose(np.asarray(got_dqkv),
+                                   np.asarray(want_dqkv),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_dbias),
+                                   np.asarray(want_dbias),
+                                   rtol=2e-3, atol=2e-3)
