@@ -22,6 +22,7 @@
 #include <opencv2/imgcodecs.hpp>
 #include <opencv2/imgproc.hpp>
 
+#include <algorithm>
 #include <condition_variable>
 #include <cstring>
 #include <deque>
@@ -39,6 +40,7 @@ struct Job {
   std::vector<int> indices;
   std::vector<uint8_t> rgb, ir;  // filled by worker
   bool done = false;
+  std::string error;  // non-empty => decode failure, Wait returns false
 };
 
 class Loader {
@@ -83,9 +85,19 @@ class Loader {
       jobs_.erase(id);
     }
     if (!job->done) return false;
+    if (!job->error.empty()) {
+      std::lock_guard<std::mutex> lk(mu_);
+      last_error_ = job->error;
+      return false;
+    }
     std::memcpy(rgb_out, job->rgb.data(), job->rgb.size());
     std::memcpy(ir_out, job->ir.data(), job->ir.size());
     return true;
+  }
+
+  std::string LastError() {
+    std::lock_guard<std::mutex> lk(mu_);
+    return last_error_;
   }
 
  private:
@@ -99,11 +111,12 @@ class Loader {
     const std::string& path = ir ? ir_paths_[index] : rgb_paths_[index];
     cv::Mat img = cv::imread(path, cv::IMREAD_UNCHANGED);
     if (img.empty()) {
-      // loud, once per path: silent gray substitution would train on
-      // label-bearing blank tiles (python _read_image raises instead)
-      fprintf(stderr, "[sodt_loader] WARNING: failed to decode %s — "
-              "substituting gray tile\n", path.c_str());
-      img = cv::Mat(img_size_, img_size_, CV_8UC3, cv::Scalar(114, 114, 114));
+      // Fail the whole job: the sample's labels still apply, so a silent
+      // gray substitute would train annotations against a blank tile. The
+      // python path (_read_image) raises on unreadable files; parity here
+      // means surfacing the error to loader_wait (returns 0 -> wrapper
+      // raises with the path from loader_last_error).
+      return nullptr;
     }
     if (img.channels() == 1) {
       cv::cvtColor(img, img, cv::COLOR_GRAY2BGR);
@@ -150,10 +163,18 @@ class Loader {
       std::vector<uint8_t> scratch;
       for (size_t i = 0; i < job->indices.size(); ++i) {
         int idx = job->indices[i];
-        std::memcpy(job->rgb.data() + i * tile,
-                    Tile(idx, false, scratch), tile);
-        std::memcpy(job->ir.data() + i * tile,
-                    Tile(idx, true, scratch), tile);
+        const uint8_t* rgb = Tile(idx, false, scratch);
+        if (!rgb) {
+          job->error = "failed to decode " + rgb_paths_[idx];
+          break;
+        }
+        std::memcpy(job->rgb.data() + i * tile, rgb, tile);
+        const uint8_t* ir = Tile(idx, true, scratch);
+        if (!ir) {
+          job->error = "failed to decode " + ir_paths_[idx];
+          break;
+        }
+        std::memcpy(job->ir.data() + i * tile, ir, tile);
       }
       {
         std::lock_guard<std::mutex> lk(mu_);
@@ -175,6 +196,7 @@ class Loader {
   std::map<uint64_t, std::shared_ptr<Job>> jobs_;
   std::thread worker_;
   bool stop_ = false;
+  std::string last_error_;
 };
 
 }  // namespace
@@ -196,6 +218,17 @@ void loader_submit(void* handle, uint64_t job_id, const int* indices,
 int loader_wait(void* handle, uint64_t job_id, uint8_t* rgb_out,
                 uint8_t* ir_out) {
   return static_cast<Loader*>(handle)->Wait(job_id, rgb_out, ir_out) ? 1 : 0;
+}
+
+// Copies the most recent failure message (e.g. the undecodable path) into
+// buf; returns the number of bytes written (excluding the NUL).
+int loader_last_error(void* handle, char* buf, int buf_len) {
+  std::string err = static_cast<Loader*>(handle)->LastError();
+  if (buf_len <= 0) return 0;
+  int n = std::min<int>(err.size(), buf_len - 1);
+  std::memcpy(buf, err.data(), n);
+  buf[n] = '\0';
+  return n;
 }
 
 void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }

@@ -44,6 +44,9 @@ def _load_lib():
     lib.loader_wait.argtypes = [
         ctypes.c_void_p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
+    lib.loader_last_error.restype = ctypes.c_int
+    lib.loader_last_error.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -94,7 +97,10 @@ class NativeTileLoader:
             rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ir.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if not ok:
-            raise RuntimeError("native loader job failed")
+            buf = ctypes.create_string_buffer(4096)
+            self._lib.loader_last_error(self._handle, buf, len(buf))
+            detail = buf.value.decode(errors="replace") or "unknown error"
+            raise RuntimeError(f"native loader job failed: {detail}")
         return rgb, ir
 
     def get(self, indices: np.ndarray):

@@ -18,6 +18,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -29,6 +30,13 @@ def _to_host(tree):
 def save_checkpoint(path: str | Path, state, *, epoch: int,
                     best_fitness: float, extra: dict | None = None):
     path = Path(path).absolute()
+    # Optimizer state (momentum buffers, MultiSteps counters, schedule step
+    # — reference restores optimizer.state_dict on resume, Train.py:171-195)
+    # is stored as its flattened leaves; the nested optax namedtuple
+    # structure is rebuilt at restore time from a fresh tx.init template
+    # via restore_opt_state().
+    opt_leaves = {str(i): np.asarray(x)
+                  for i, x in enumerate(jax.tree.leaves(state.opt_state))}
     ckpt = {
         "step": np.asarray(state.step),
         "params": _to_host(state.params),
@@ -36,6 +44,7 @@ def save_checkpoint(path: str | Path, state, *, epoch: int,
         "ema_params": _to_host(state.ema_params),
         "ema_batch_stats": _to_host(state.ema_batch_stats),
         "ema_updates": np.asarray(state.ema_updates),
+        "opt_state": opt_leaves,
         "epoch": np.asarray(epoch),
         "best_fitness": np.asarray(best_fitness),
     }
@@ -48,6 +57,29 @@ def save_checkpoint(path: str | Path, state, *, epoch: int,
 def load_checkpoint(path: str | Path) -> dict:
     ckptr = ocp.PyTreeCheckpointer()
     return ckptr.restore(Path(path).absolute())
+
+
+def restore_opt_state(template, ckpt: dict):
+    """Rebuild the optax state pytree from checkpointed leaves.
+
+    `template` is a freshly initialized opt_state (tx.init(params)) built
+    with the SAME optimizer configuration as the checkpointed run; its
+    treedef carries the namedtuple structure that orbax cannot serialize.
+    """
+    if "opt_state" not in ckpt or ckpt["opt_state"] is None:
+        raise KeyError("checkpoint has no opt_state (pre-round-2 format)")
+    stored = ckpt["opt_state"]
+    leaves = [stored[str(i)] for i in range(len(stored))]
+    treedef = jax.tree.structure(template)
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"opt_state leaf count mismatch: checkpoint has {len(leaves)}, "
+            f"fresh optimizer expects {treedef.num_leaves} — was the "
+            "optimizer configuration changed between runs?")
+    tmpl_leaves = jax.tree.leaves(template)
+    leaves = [jnp.asarray(l, dtype=t.dtype) if hasattr(t, "dtype") else l
+              for l, t in zip(leaves, tmpl_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def strip_checkpoint(path: str | Path, out_path: str | Path):

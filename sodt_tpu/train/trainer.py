@@ -28,7 +28,8 @@ from .loss import LossConfig
 from .optim import make_optimizer
 from .state import TrainState, make_train_step
 from .evaluate import evaluate, fitness_from_metrics
-from .checkpoint import save_checkpoint, load_checkpoint, eval_variables
+from .checkpoint import (save_checkpoint, load_checkpoint, eval_variables,
+                         restore_opt_state)
 from .optim import lr_schedules
 from ..utils.loggers import RunLogger
 from ..utils.plots import plot_results, plot_labels
@@ -153,9 +154,14 @@ def train(tc: TrainConfig) -> dict:
     best_fitness = 0.0
     if tc.resume:
         ckpt = load_checkpoint(tc.resume)
+        # Full optimizer restore — momentum buffers, MultiSteps counters and
+        # the schedule step all resume where they left off, matching the
+        # reference's optimizer.state_dict reload (Train.py:171-195).
+        opt_state = restore_opt_state(state.opt_state, ckpt)
         state = state.replace(
             step=jnp.asarray(ckpt["step"]), params=ckpt["params"],
             batch_stats=ckpt["batch_stats"],
+            opt_state=opt_state,
             ema_params=ckpt["ema_params"],
             ema_batch_stats=ckpt["ema_batch_stats"],
             ema_updates=jnp.asarray(ckpt["ema_updates"]))

@@ -92,6 +92,71 @@ def test_batchnorm_stats_update():
     assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
 
 
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Train 4 steps, checkpoint, resume into a FRESH optimizer, train 4
+    more; params/opt_state must match an uninterrupted 8-step run bitwise.
+    Uses accumulate=2 so MultiSteps counters are exercised (the reference
+    restores the full optimizer.state_dict, Train.py:171-195)."""
+    from sodt_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
+                                           restore_opt_state)
+
+    def fresh():
+        model = build_model(TINY, ch_in=3, input_mode="RGB")
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(size=(2, 64, 64, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, x, train=True)
+        targets = np.zeros((2, 8, 5), np.float32)
+        targets[:, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+        tmask = np.zeros((2, 8), bool)
+        tmask[:, 0] = True
+        batch = {"img": x, "ir": x, "targets": jnp.asarray(targets),
+                 "tmask": jnp.asarray(tmask)}
+        cfg = LossConfig(nc=model.spec.nc, anchors=model.spec.anchors,
+                         strides=model.spec.detect_strides,
+                         hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                         hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+        tx = make_optimizer(HYP, variables["params"], epochs=50, nb=4,
+                            accumulate=2)
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        step = jax.jit(make_train_step(model, tx, cfg, accumulate=2))
+        return state, step, batch
+
+    # uninterrupted run: 8 steps
+    state_a, step_a, batch = fresh()
+    for _ in range(8):
+        state_a, _ = step_a(state_a, batch)
+
+    # interrupted run: 4 steps -> checkpoint -> fresh state -> resume -> 4
+    state_b, step_b, _ = fresh()
+    for _ in range(4):
+        state_b, _ = step_b(state_b, batch)
+    save_checkpoint(tmp_path / "ckpt", state_b, epoch=0, best_fitness=0.0)
+
+    state_c, step_c, _ = fresh()  # fresh tx.init(), as a real resume does
+    ckpt = load_checkpoint(tmp_path / "ckpt")
+    state_c = state_c.replace(
+        step=jnp.asarray(ckpt["step"]), params=ckpt["params"],
+        batch_stats=ckpt["batch_stats"],
+        opt_state=restore_opt_state(state_c.opt_state, ckpt),
+        ema_params=ckpt["ema_params"],
+        ema_batch_stats=ckpt["ema_batch_stats"],
+        ema_updates=jnp.asarray(ckpt["ema_updates"]))
+    for _ in range(4):
+        state_c, _ = step_c(state_c, batch)
+
+    assert int(state_a.step) == int(state_c.step) == 8
+    for pa, pc in zip(jax.tree.leaves(state_a.params),
+                      jax.tree.leaves(state_c.params)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pc))
+    for ea, ec in zip(jax.tree.leaves(state_a.ema_params),
+                      jax.tree.leaves(state_c.ema_params)):
+        np.testing.assert_array_equal(np.asarray(ea), np.asarray(ec))
+    for oa, oc in zip(jax.tree.leaves(state_a.opt_state),
+                      jax.tree.leaves(state_c.opt_state)):
+        np.testing.assert_array_equal(np.asarray(oa), np.asarray(oc))
+
+
 def test_sr_training_step():
     """SR branch end to end: tiny CNN config + DeepLabSR taps, loss finite
     and sr component present."""
