@@ -117,20 +117,24 @@ def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
 
 def make_augment_fn(s: int, hyp: dict, use_mixup: bool):
     fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup)
-    batched = jax.vmap(fn)
-    return jax.jit(batched)
+    if not use_mixup:
+        # drop the secondary-mosaic operands from the jit signature so the
+        # loader never decodes or transfers them (hyp mixup: 0.0 default)
+        def primary_only(rgb4, ir4, lab4, msk4, key):
+            return fn(rgb4, ir4, lab4, msk4, rgb4, ir4, lab4, msk4, key)
+        return jax.jit(jax.vmap(primary_only))
+    return jax.jit(jax.vmap(fn))
 
 
 def _step_indices(rng, order, start, batch_size, n, use_mixup):
-    """Tile index schedule for one step: (B, 4) primary + (B, 4) mixup."""
+    """Tile index schedule for one step: (B, 4) primary [+ (B, 4) mixup]."""
     prim = np.empty((batch_size, 4), np.int64)
-    sec = np.empty((batch_size, 4), np.int64)
     for bi in range(batch_size):
         prim[bi, 0] = order[start + bi]
         prim[bi, 1:] = rng.integers(n, size=3)
-        sec[bi] = rng.integers(n, size=4)
     if not use_mixup:
-        sec = prim
+        return prim, None
+    sec = rng.integers(n, size=(batch_size, 4))
     return prim, sec
 
 
@@ -236,8 +240,12 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     steps_per_epoch = max(n // batch_size, 1)
     total_steps = None if epochs is None else epochs * steps_per_epoch
 
+    def flatten(prim, sec):
+        return (prim.ravel() if sec is None
+                else np.concatenate([prim.ravel(), sec.ravel()]))
+
     prim, sec = next(sched)
-    flat = np.concatenate([prim.ravel(), sec.ravel()])
+    flat = flatten(prim, sec)
     job = src.submit(flat)
     step = 0
     while total_steps is None or step < total_steps:
@@ -245,7 +253,7 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         rgb, ir = src.wait(job)
         # pipeline: kick off the next step's decode immediately
         prim_n, sec_n = next(sched)
-        flat = np.concatenate([prim_n.ravel(), sec_n.ravel()])
+        flat = flatten(prim_n, sec_n)
         job = src.submit(flat)
 
         labs, msks = pack_labels(cur_flat)
@@ -253,19 +261,24 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         shape4 = (batch_size, 4, img_size, img_size, 3)
         r1 = rgb[:half].reshape(shape4).astype(np.float32)
         i1 = ir[:half].reshape(shape4).astype(np.float32)
-        r2 = rgb[half:].reshape(shape4).astype(np.float32)
-        i2 = ir[half:].reshape(shape4).astype(np.float32)
         l1 = labs[:half].reshape(batch_size, 4, m0, 5)
         k1 = msks[:half].reshape(batch_size, 4, m0)
-        l2 = labs[half:].reshape(batch_size, 4, m0, 5)
-        k2 = msks[half:].reshape(batch_size, 4, m0)
 
         key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
         keys = jax.random.split(key, batch_size)
-        img, irr, targets, tmask = aug(
-            jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
-            jnp.asarray(k1), jnp.asarray(r2), jnp.asarray(i2),
-            jnp.asarray(l2), jnp.asarray(k2), keys)
+        if use_mixup:
+            r2 = rgb[half:].reshape(shape4).astype(np.float32)
+            i2 = ir[half:].reshape(shape4).astype(np.float32)
+            l2 = labs[half:].reshape(batch_size, 4, m0, 5)
+            k2 = msks[half:].reshape(batch_size, 4, m0)
+            img, irr, targets, tmask = aug(
+                jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
+                jnp.asarray(k1), jnp.asarray(r2), jnp.asarray(i2),
+                jnp.asarray(l2), jnp.asarray(k2), keys)
+        else:
+            img, irr, targets, tmask = aug(
+                jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
+                jnp.asarray(k1), keys)
         if multi_scale:
             # bucketed multi-scale (reference resizes every batch to a
             # random /32-multiple in +/-50%, Train.py:396-402; fixed-shape

@@ -13,12 +13,13 @@ Path derivation parity (datasets.py:368-376, 684-685):
   * label path: .../images/x_co.png -> .../labels/x.txt
 Label format: class cx cy w h (normalized), one object per line.
 Label caching: parsed labels are stored in a sibling `.labels.npz` keyed by
-(file count, total size) like the reference's hash-keyed .cache
-(datasets.py:40-42,762-807).
+a sha256 over per-file (path, size, mtime) — the reference's .cache is keyed
+by summed file size only (datasets.py:40-42,762-807).
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
 
@@ -99,9 +100,15 @@ class VedaiDataset:
 
     def _load_labels(self, list_file: str):
         cache = Path(list_file).with_suffix(".labels.npz")
-        key = np.array([len(self.img_files),
-                        sum(os.path.getsize(p) for p in self.label_files
-                            if os.path.exists(p))])
+        # key = hash of per-file (path, size, mtime) so edits that keep the
+        # total byte count can't serve stale labels (reference get_hash is
+        # size-sum only, datasets.py:40-42 — deliberately stronger here)
+        h = hashlib.sha256()
+        for p in self.label_files:
+            st = os.stat(p) if os.path.exists(p) else None
+            h.update(f"{p}:{st.st_size if st else -1}:"
+                     f"{st.st_mtime_ns if st else 0};".encode())
+        key = np.frombuffer(h.digest(), np.uint8)
         if cache.exists():
             data = np.load(cache, allow_pickle=True)
             if np.array_equal(data["key"], key):

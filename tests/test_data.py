@@ -182,3 +182,53 @@ def test_update_annotation_row():
     assert cx == pytest.approx(125 / 512)
     assert w == pytest.approx(50 / 512)
     assert update_annotation_row([99] + row[1:], 512, 512) is None
+
+
+def test_label_cache_invalidates_on_same_size_edit(tmp_path):
+    """Editing label contents without changing total byte size must bust the
+    .labels.npz cache (round-1 ADVICE: size-sum key served stale labels)."""
+    import cv2
+    from sodt_tpu.data.vedai import VedaiDataset
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    img = np.zeros((16, 16, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "images" / "a_co.png"), img)
+    cv2.imwrite(str(tmp_path / "images" / "a_ir.png"), img[..., 0])
+    lf = tmp_path / "labels" / "a.txt"
+    lf.write_text("0 0.5 0.5 0.2 0.2\n")
+    lst = tmp_path / "fold.txt"
+    lst.write_text(str(tmp_path / "images" / "a_co.png") + "\n")
+
+    ds1 = VedaiDataset(str(lst), img_size=16)
+    assert ds1.labels[0][0, 0] == 0
+    # same byte length, different class; force a different mtime
+    import os
+    lf.write_text("3 0.5 0.5 0.2 0.2\n")
+    st = lf.stat()
+    os.utime(lf, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    ds2 = VedaiDataset(str(lst), img_size=16)
+    assert ds2.labels[0][0, 0] == 3
+
+
+def test_train_batches_no_mixup_skips_secondary_block():
+    """With mixup off the schedule submits only the primary 4-tile block
+    (half the decode/H2D traffic) and target capacity stays M."""
+    from sodt_tpu.data.loader import _step_indices
+    rng = np.random.default_rng(0)
+    prim, sec = _step_indices(rng, np.arange(8), 0, 2, 8, use_mixup=False)
+    assert sec is None and prim.shape == (2, 4)
+    prim, sec = _step_indices(rng, np.arange(8), 0, 2, 8, use_mixup=True)
+    assert sec.shape == (2, 4)
+
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = {"mixup": 0.0, "fliplr": 0.5}
+    it = make_train_batches(ds, 2, 64, hyp, seed=0, prefer_native=False,
+                            max_labels_per_image=10)
+    b = next(it)
+    assert b["targets"].shape == (2, 40, 5)  # 4 tiles x M
+    hyp2 = {"mixup": 1.0, "fliplr": 0.5}
+    it2 = make_train_batches(ds, 2, 64, hyp2, seed=0, prefer_native=False,
+                             max_labels_per_image=10)
+    b2 = next(it2)
+    assert b2["targets"].shape == (2, 80, 5)  # concat of both mosaics
