@@ -67,6 +67,13 @@ def single_image_nms(pred: jax.Array, *, conf_thres: float = 0.25,
         cls_ids = best.astype(pred.dtype)
         cand_boxes = boxes
 
+    # full candidate count BEFORE top-k truncation: gates merge-NMS exactly
+    # like the reference's `1 < n < 3E3` (general.py:499). Whenever the gate
+    # is open, n < 3000 <= top_k so truncation loses nothing and merge parity
+    # is exact; at n >= 3000 the reference disables merge too, and only the
+    # plain-NMS tail beyond top_k differs from its max_nms=30000.
+    n_cand = jnp.sum(scores > 0.0)
+
     k = min(top_k, scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = cand_boxes[top_idx]
@@ -99,13 +106,18 @@ def single_image_nms(pred: jax.Array, *, conf_thres: float = 0.25,
 
     if merge:
         # merge-NMS: weighted fusion of each winner with its >iou_thres
-        # neighbours among all candidates (general.py:499-506)
-        w = (iou[kept_idx] > iou_thres) * top_scores[None, :]  # (max_det, K)
-        w = jnp.where(cand_valid[None, :], w, 0.0)
+        # neighbours among all candidates, gated on 1 < n < 3000, plus the
+        # redundancy requirement `i = i[iou.sum(1) > 1]` — winners with no
+        # overlapping second candidate are dropped (general.py:499-506)
+        merge_on = (n_cand > 1) & (n_cand < 3000)
+        neigh = (iou[kept_idx] > iou_thres) & cand_valid[None, :]
+        w = neigh * top_scores[None, :]  # (max_det, K)
         denom = jnp.sum(w, axis=1, keepdims=True)
         merged = (w @ top_boxes) / jnp.maximum(denom, 1e-12)
-        use = (denom[:, 0] > 0) & kept_ok
+        use = merge_on & (denom[:, 0] > 0) & kept_ok
         out_boxes = jnp.where(use[:, None], merged, out_boxes)
+        redundant_ok = jnp.sum(neigh, axis=1) > 1
+        kept_ok = kept_ok & jnp.where(merge_on, redundant_ok, True)
 
     dets = jnp.concatenate(
         [out_boxes, out_scores[:, None], out_cls[:, None]], axis=1)

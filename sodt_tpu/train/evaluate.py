@@ -6,9 +6,13 @@ batch shape (the reference crosses to host for torchvision NMS per image,
 test.py:152); only the greedy GT matching and AP accumulation run on host
 numpy, like the reference.
 
-Protocol parity (BASELINE.md): conf 0.001, iou 0.6, multi-label, merge-NMS,
-IoU vector 0.5:0.95:10. Speed accounting reports inference+NMS ms/img like
-test.py:301-303.
+Protocol parity (BASELINE.md): conf 0.001, iou 0.6, multi-label, merge-NMS
+with the reference's 1 < n < 3000 gate and redundancy drop, IoU vector
+0.5:0.95:10. Candidate truncation: top_k=4096 (static, vs the reference's
+dynamic max_nms=30000, general.py:490) — whenever merge engages (n < 3000)
+truncation loses nothing and parity is exact; above 4096 candidates only
+the lowest-scoring tail of a plain-NMS pass can differ. Speed accounting
+reports inference+NMS ms/img like test.py:301-303.
 """
 
 from __future__ import annotations

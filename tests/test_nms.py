@@ -101,6 +101,95 @@ def test_against_torchvision():
     np.testing.assert_array_equal(ours[:, 5].astype(int), ref[:, 5].astype(int))
 
 
+def _compare_to_ref(pred, *, conf_thres, iou_thres, multi_label, merge,
+                    top_k, atol_box=1e-3):
+    from ref_nms import ref_nms_numpy
+    dets, valid = single_image_nms(
+        jnp.asarray(pred), conf_thres=conf_thres, iou_thres=iou_thres,
+        multi_label=multi_label, merge=merge, top_k=top_k)
+    ours = np.asarray(dets)[np.asarray(valid)]
+    ref = ref_nms_numpy(pred[None], conf_thres=conf_thres,
+                        iou_thres=iou_thres, multi_label=multi_label,
+                        merge=merge)[0]
+    assert ours.shape[0] == ref.shape[0], (ours.shape, ref.shape)
+    np.testing.assert_allclose(ours[:, 4], ref[:, 4], atol=1e-5)
+    np.testing.assert_allclose(ours[:, :4], ref[:, :4], atol=atol_box)
+    np.testing.assert_array_equal(ours[:, 5].astype(int),
+                                  ref[:, 5].astype(int))
+    return ours, ref
+
+
+def _random_pred(rng, n, nc=3, lo=50, hi=450):
+    cx = rng.uniform(lo, hi, n)
+    cy = rng.uniform(lo, hi, n)
+    w = rng.uniform(5, 60, n)
+    h = rng.uniform(5, 60, n)
+    obj = rng.uniform(0, 1, n)
+    cls = rng.dirichlet([1.0] * nc, n)
+    return _make_pred(np.stack([cx, cy, w, h], 1), obj, cls)
+
+
+def test_golden_numpy_merge_off():
+    """Always-running oracle (pure-numpy port of general.py:425-512)."""
+    rng = np.random.default_rng(7)
+    pred = _random_pred(rng, 300)
+    _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                    multi_label=False, merge=False, top_k=512)
+
+
+def test_golden_numpy_multi_label():
+    rng = np.random.default_rng(11)
+    pred = _random_pred(rng, 300)
+    _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                    multi_label=True, merge=False, top_k=1024)
+
+
+def test_golden_numpy_merge_on():
+    """Merge-NMS parity: weighted box fusion AND the redundancy drop. Boxes
+    are clustered so merge changes coordinates and isolated winners exist."""
+    rng = np.random.default_rng(13)
+    # clusters of jittered boxes -> redundant winners, merged coords
+    centers = rng.uniform(80, 420, (12, 2))
+    rows = []
+    for c in centers:
+        k = rng.integers(2, 6)
+        for _ in range(k):
+            rows.append([c[0] + rng.normal(0, 2), c[1] + rng.normal(0, 2),
+                         30 + rng.normal(0, 1.5), 30 + rng.normal(0, 1.5)])
+    # a few isolated boxes (no neighbor -> dropped by the redundancy rule)
+    for _ in range(5):
+        rows.append([rng.uniform(60, 440), rng.uniform(60, 440), 8, 8])
+    n = len(rows)
+    obj = rng.uniform(0.4, 1.0, n)
+    cls = rng.dirichlet([2.0, 1.0], n)
+    pred = _make_pred(np.asarray(rows), obj, cls)
+    ours, ref = _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                                multi_label=False, merge=True, top_k=256)
+    assert ours.shape[0] > 0
+    # the redundancy rule must have dropped at least one isolated winner
+    no_merge, _ = _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                                  multi_label=False, merge=False, top_k=256)
+    assert ours.shape[0] < no_merge.shape[0]
+
+
+def test_golden_numpy_merge_gate_large_n():
+    """With >= 3000 candidates the reference disables merge (general.py:499);
+    ours must reproduce the gate so dense eval batches stay comparable."""
+    rng = np.random.default_rng(17)
+    pred = _random_pred(rng, 3500, nc=2)
+    pred[:, 4] = rng.uniform(0.3, 1.0, len(pred))  # all above conf
+    _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                    multi_label=False, merge=True, top_k=4096)
+
+
+def test_golden_numpy_single_candidate():
+    """n == 1 closes the merge gate (1 < n fails): the lone box survives."""
+    pred = _make_pred([[100, 100, 20, 20]], [0.9], [[0.9, 0.1]])
+    ours, ref = _compare_to_ref(pred, conf_thres=0.25, iou_thres=0.45,
+                                multi_label=False, merge=True, top_k=16)
+    assert ours.shape[0] == 1
+
+
 def test_batched_shapes():
     rng = np.random.default_rng(3)
     preds = rng.uniform(0, 1, (4, 64, 13)).astype(np.float32)
