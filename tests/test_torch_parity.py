@@ -277,11 +277,15 @@ def test_full_encoder_parity(ref):
                                    atol=5e-4)
 
 
-def test_full_model_parity(ref):
-    """THE golden test: the complete reference Model (encoder + FPN head +
-    Detect) built from /root/reference/models/model.yaml, weights imported
-    into our DetectionModel, same 512px input — raw Detect outputs and the
-    decoded predictions must match."""
+_FLAGSHIP_CACHE: dict = {}
+
+
+def _build_flagship_pair():
+    """Reference Model + our DetectionModel with imported weights, plus a
+    fixed 512px input forwarded through both. Cached: several tests chain
+    off the same expensive build."""
+    if _FLAGSHIP_CACHE:
+        return _FLAGSHIP_CACHE["pair"]
     import types
     for name in ["torchvision", "torchvision.ops", "seaborn", "xlsxwriter",
                  "pafy", "wandb", "thop", "numba"]:
@@ -293,10 +297,7 @@ def test_full_model_parity(ref):
 
     import importlib
     rmodel = importlib.import_module("basics.models.model")
-    import jax
-    import jax.numpy as jnp
     from sodt_tpu.models import build_model
-    from sodt_tpu.models.detect import decode_detections
     from sodt_tpu.utils.torch_import import import_flagship_model
 
     torch.manual_seed(42)
@@ -320,6 +321,22 @@ def test_full_model_parity(ref):
     variables = import_flagship_model(tm.state_dict(), ours.spec)
     out = ours.apply(variables, t2j(rgb.permute(0, 2, 3, 1)),
                      t2j(ir.permute(0, 2, 3, 1)), train=False)
+    pair = dict(tm=tm, ours=ours, variables=variables, rgb=rgb, ir=ir,
+                dec_ref=dec_ref, raw_ref=raw_ref, out=out)
+    _FLAGSHIP_CACHE["pair"] = pair
+    return pair
+
+
+def test_full_model_parity(ref):
+    """THE golden test: the complete reference Model (encoder + FPN head +
+    Detect) built from /root/reference/models/model.yaml, weights imported
+    into our DetectionModel, same 512px input — raw Detect outputs and the
+    decoded predictions must match."""
+    from sodt_tpu.models.detect import decode_detections
+
+    p = _build_flagship_pair()
+    dec_ref, raw_ref, out, ours = (p["dec_ref"], p["raw_ref"], p["out"],
+                                   p["ours"])
     raw = out["raw"][0]  # (1, 128, 128, 3, 13)
 
     # reference raw layout: (1, na, ny, nx, no)
@@ -335,6 +352,45 @@ def test_full_model_parity(ref):
     a = np.sort(dec.reshape(-1, 13), axis=0)
     b = np.sort(dec_ref.reshape(-1, 13), axis=0)
     np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-2)
+
+
+def test_full_pipeline_boxes_parity(ref):
+    """Closes the loop to 'bit-comparable boxes' (BASELINE.md): imported
+    reference weights -> our jitted forward + decode + on-device merge-NMS
+    must return the same final boxes/scores/classes as the reference Model
+    forward + its non_max_suppression (numpy oracle port, tests/ref_nms.py
+    == general.py:425-512) on the same input, under the eval protocol
+    (iou 0.6, multi-label, merge — basics/test.py:135-152)."""
+    import jax.numpy as jnp
+    from ref_nms import ref_nms_numpy
+    from sodt_tpu.models.detect import decode_detections
+    from sodt_tpu.ops.nms import single_image_nms
+
+    p = _build_flagship_pair()
+    dec_ref, out, ours = p["dec_ref"], p["out"], p["ours"]
+
+    # pick conf so a few hundred multi-label candidates pass (random-weight
+    # scores cluster; a fixed 0.001 would light up every cell) and the
+    # n < 3000 merge gate is open — the full merged path gets exercised
+    obj = dec_ref[0][:, 4:5]
+    pair_scores = (obj * dec_ref[0][:, 5:]).ravel()
+    conf = float(np.sort(pair_scores)[-600])
+
+    ref_out = ref_nms_numpy(dec_ref, conf_thres=conf, iou_thres=0.6,
+                            multi_label=True, merge=True)[0]
+    assert 1 < ref_out.shape[0] <= 300
+
+    anchors = np.asarray(ours.spec.anchors, np.float32).reshape(1, 3, 2)
+    dec = decode_detections(out["raw"], anchors, ours.spec.detect_strides)
+    dets, valid = single_image_nms(dec[0], conf_thres=conf, iou_thres=0.6,
+                                   multi_label=True, merge=True, top_k=4096)
+    mine = np.asarray(dets)[np.asarray(valid)]
+
+    assert mine.shape[0] == ref_out.shape[0], (mine.shape, ref_out.shape)
+    np.testing.assert_allclose(mine[:, 4], ref_out[:, 4], atol=1e-3)
+    np.testing.assert_array_equal(mine[:, 5].astype(int),
+                                  ref_out[:, 5].astype(int))
+    np.testing.assert_allclose(mine[:, :4], ref_out[:, :4], atol=0.05)
 
 
 def test_mono_encoder_parity(ref):  # ref fixture installs shims/path
