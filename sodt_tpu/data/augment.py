@@ -83,37 +83,45 @@ class PerspectiveParams(NamedTuple):
     perspective: float = 0.0
 
 
-def _perspective_matrix(key, in_hw, out_hw, p: PerspectiveParams):
-    """Random 3x3 matrix, composed like reference datasets.py:1203-1235."""
+def compose_perspective_matrix(px, py, a_deg, s, shx_deg, shy_deg, tx, ty,
+                               in_hw):
+    """M = T @ Sh @ R @ P @ C from explicit draws, exactly as the reference
+    composes it (datasets.py:1190-1235). R follows cv2.getRotationMatrix2D's
+    sign convention: [[cos, sin], [-sin, cos]] * s."""
     ih, iw = in_hw
-    oh, ow = out_hw
-    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
-    u = lambda k, lo, hi: jax.random.uniform(k, (), minval=lo, maxval=hi)
-
     # center: move image center to origin
     C = jnp.array([[1, 0, -iw / 2], [0, 1, -ih / 2], [0, 0, 1]], jnp.float32)
-    # perspective
     P = jnp.eye(3)
-    P = P.at[2, 0].set(u(k1, -p.perspective, p.perspective))
-    P = P.at[2, 1].set(u(k2, -p.perspective, p.perspective))
-    # rotation + scale
-    a = u(k3, -p.degrees, p.degrees) * math.pi / 180.0
-    s = u(k4, 1 - p.scale, 1 + p.scale)
-    R = jnp.array([[jnp.cos(a) * s, -jnp.sin(a) * s, 0],
-                   [jnp.sin(a) * s, jnp.cos(a) * s, 0],
+    P = P.at[2, 0].set(px).at[2, 1].set(py)
+    a = a_deg * math.pi / 180.0
+    R = jnp.array([[jnp.cos(a) * s, jnp.sin(a) * s, 0],
+                   [-jnp.sin(a) * s, jnp.cos(a) * s, 0],
                    [0, 0, 1]], jnp.float32)
-    # shear
-    sx = jnp.tan(u(k5, -p.shear, p.shear) * math.pi / 180.0)
-    sy = jnp.tan(u(k6, -p.shear, p.shear) * math.pi / 180.0)
+    shx = jnp.tan(shx_deg * math.pi / 180.0)
+    shy = jnp.tan(shy_deg * math.pi / 180.0)
     Sh = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
-    Sh = Sh.at[0, 1].set(sx).at[1, 0].set(sy)
-    # translation: place origin at a jittered output position
-    k7a, k7b = jax.random.split(k7)
-    tx = u(k7a, 0.5 - p.translate, 0.5 + p.translate) * ow
-    ty = u(k7b, 0.5 - p.translate, 0.5 + p.translate) * oh
+    Sh = Sh.at[0, 1].set(shx).at[1, 0].set(shy)
     T = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
     T = T.at[0, 2].set(tx).at[1, 2].set(ty)
     return T @ Sh @ R @ P @ C
+
+
+def _perspective_matrix(key, in_hw, out_hw, p: PerspectiveParams):
+    """Random 3x3 matrix + scale draw (datasets.py:1203-1235 ranges)."""
+    oh, ow = out_hw
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    u = lambda k, lo, hi: jax.random.uniform(k, (), minval=lo, maxval=hi)
+    px = u(k1, -p.perspective, p.perspective)
+    py = u(k2, -p.perspective, p.perspective)
+    a_deg = u(k3, -p.degrees, p.degrees)
+    s = u(k4, 1 - p.scale, 1 + p.scale)
+    shx = u(k5, -p.shear, p.shear)
+    shy = u(k6, -p.shear, p.shear)
+    k7a, k7b = jax.random.split(k7)
+    tx = u(k7a, 0.5 - p.translate, 0.5 + p.translate) * ow
+    ty = u(k7b, 0.5 - p.translate, 0.5 + p.translate) * oh
+    return compose_perspective_matrix(px, py, a_deg, s, shx, shy, tx, ty,
+                                      in_hw), s
 
 
 def box_candidates(box1, box2, wh_thr=2.0, ar_thr=20.0, area_thr=0.1,
@@ -130,8 +138,12 @@ def box_candidates(box1, box2, wh_thr=2.0, ar_thr=20.0, area_thr=0.1,
             & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr))
 
 
-def warp_labels(labels_xyxy, mask, m, out_hw):
-    """Transform padded xyxy pixel labels by 3x3 matrix m; clip + filter."""
+def warp_labels(labels_xyxy, mask, m, out_hw, s=1.0):
+    """Transform padded xyxy pixel labels by 3x3 matrix m; clip + filter.
+
+    `s` is the scale component of m: the reference compares warped areas
+    against the SCALED originals (box_candidates(box1=targets*s, box2=xy),
+    datasets.py:1271) so pure zoom never kills a box."""
     oh, ow = out_hw
     n = labels_xyxy.shape[0]
     x1, y1, x2, y2 = (labels_xyxy[:, i] for i in range(4))
@@ -146,18 +158,18 @@ def warp_labels(labels_xyxy, mask, m, out_hw):
     nx2 = jnp.clip(pts[..., 0].max(1), 0, ow)
     ny2 = jnp.clip(pts[..., 1].max(1), 0, oh)
     new = jnp.stack([nx1, ny1, nx2, ny2], axis=-1)
-    keep = mask & box_candidates(labels_xyxy, new)
+    keep = mask & box_candidates(labels_xyxy * s, new)
     return new, keep
 
 
 def random_perspective(img, ir, labels_xyxy, mask, key,
                        p: PerspectiveParams, out_hw, pad_value=114.0):
     """Warp one sample (img, ir HWC float; padded pixel xyxy labels)."""
-    m = _perspective_matrix(key, img.shape[:2], out_hw, p)
+    m, s = _perspective_matrix(key, img.shape[:2], out_hw, p)
     minv = jnp.linalg.inv(m)
     img_w = affine_sample(img, minv, out_hw, pad_value)
     ir_w = affine_sample(ir, minv, out_hw, pad_value)
-    new_labels, keep = warp_labels(labels_xyxy, mask, m, out_hw)
+    new_labels, keep = warp_labels(labels_xyxy, mask, m, out_hw, s)
     return img_w, ir_w, new_labels, keep
 
 
@@ -219,6 +231,12 @@ def hsv_augment(img, key, h_gain=0.015, s_gain=0.7, v_gain=0.4):
         jax.random.uniform(k2, (), minval=-1.0, maxval=1.0) * s_gain + 1,
         jax.random.uniform(k3, (), minval=-1.0, maxval=1.0) * v_gain + 1,
     ])
+    return hsv_apply(img, r)
+
+
+def hsv_apply(img, r):
+    """Scale (hue, sat, val) by gains r (3,) — float equivalent of the
+    reference's uint8 LUTs (x*r0 % 180, clip(x*r1), clip(x*r2))."""
     x = img / 255.0
     mx = x.max(-1)
     mn = x.min(-1)

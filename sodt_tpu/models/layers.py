@@ -51,11 +51,13 @@ class ConvBnAct(nn.Module):
     """Conv2d + BatchNorm + activation — the reference `Conv` (common.py:38-52).
 
     NHWC; bias-free conv; act defaults to SiLU. Set `act=None` for identity.
+    k/s may be ints or (kh, kw)/(sh, sw) tuples (reference autopad handles
+    both, common.py:26-30).
     """
 
     c2: int
-    k: int = 1
-    s: int = 1
+    k: int | tuple = 1
+    s: int | tuple = 1
     p: int | None = None
     g: int = 1
     act: Callable | None = silu
@@ -63,9 +65,12 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = autopad(self.k, self.p)
-        x = nn.Conv(self.c2, (self.k, self.k), strides=(self.s, self.s),
-                    padding=[(pad, pad), (pad, pad)], feature_group_count=self.g,
+        kh, kw = (self.k, self.k) if isinstance(self.k, int) else self.k
+        sh, sw = (self.s, self.s) if isinstance(self.s, int) else self.s
+        ph = autopad(kh, self.p)
+        pw = autopad(kw, self.p)
+        x = nn.Conv(self.c2, (kh, kw), strides=(sh, sw),
+                    padding=[(ph, ph), (pw, pw)], feature_group_count=self.g,
                     use_bias=False, dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(x)
@@ -73,10 +78,12 @@ class ConvBnAct(nn.Module):
 
 
 def DWConvBnAct(c2: int, k: int = 1, s: int = 1, c1: int | None = None,
-                dtype: DType = jnp.float32) -> ConvBnAct:
+                act: Callable | None = silu,
+                dtype: DType = jnp.float32, name: str | None = None
+                ) -> ConvBnAct:
     """Depthwise conv block (reference common.py:33-35)."""
     g = math.gcd(c1, c2) if c1 else c2
-    return ConvBnAct(c2=c2, k=k, s=s, g=g, dtype=dtype)
+    return ConvBnAct(c2=c2, k=k, s=s, g=g, act=act, dtype=dtype, name=name)
 
 
 class Bottleneck(nn.Module):
@@ -343,7 +350,8 @@ class MF(nn.Module):
 
 
 class CrossConv(nn.Module):
-    """1xk then kx1 cross convolution (experimental.py:11-25)."""
+    """(1,k) then (k,1) cross convolution, each a full Conv+BN+SiLU block
+    (experimental.py:11-25)."""
 
     c2: int
     k: int = 3
@@ -356,45 +364,40 @@ class CrossConv(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBnAct(c_, 1, 1, dtype=self.dtype, name="cv1")(x, train)
-        # (1,k) then (k,1) conv
-        pad_k = autopad(self.k)
-        y = nn.Conv(c_, (1, self.k), strides=(1, self.s),
-                    padding=[(0, 0), (pad_k, pad_k)], use_bias=False,
-                    dtype=self.dtype, name="cv2a")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=self.dtype, name="bn_a")(y)
-        y = silu(y)
-        y = nn.Conv(self.c2, (self.k, 1), strides=(self.s, 1),
-                    padding=[(pad_k, pad_k), (0, 0)],
-                    feature_group_count=self.g, use_bias=False,
-                    dtype=self.dtype, name="cv2b")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, dtype=self.dtype, name="bn_b")(y)
-        y = silu(y)
+        y = ConvBnAct(c_, (1, self.k), (1, self.s), dtype=self.dtype,
+                      name="cv1")(x, train)
+        y = ConvBnAct(self.c2, (self.k, 1), (self.s, 1), g=self.g,
+                      dtype=self.dtype, name="cv2")(y, train)
         if self.shortcut and x.shape[-1] == self.c2:
             return x + y
         return y
 
 
 class GhostConv(nn.Module):
-    """Ghost convolution (experimental.py:61-71)."""
+    """Ghost convolution (experimental.py:46-55). `act=None` gives the
+    pw-linear variant used inside GhostBottleneck."""
 
     c2: int
     k: int = 1
     s: int = 1
+    g: int = 1
+    act: Callable | None = silu
     dtype: DType = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = self.c2 // 2
-        y = ConvBnAct(c_, self.k, self.s, dtype=self.dtype, name="cv1")(x, train)
-        y2 = ConvBnAct(c_, 5, 1, g=c_, dtype=self.dtype, name="cv2")(y, train)
+        y = ConvBnAct(c_, self.k, self.s, g=self.g, act=self.act,
+                      dtype=self.dtype, name="cv1")(x, train)
+        y2 = ConvBnAct(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype,
+                       name="cv2")(y, train)
         return jnp.concatenate([y, y2], axis=-1)
 
 
 class GhostBottleneck(nn.Module):
-    """Ghost bottleneck (experimental.py:74-85)."""
+    """Ghost bottleneck (experimental.py:58-72): pw GhostConv -> optional
+    s=2 depthwise -> pw-linear GhostConv, ALWAYS summed with a shortcut
+    branch (identity at s=1; DWConv+Conv at s=2)."""
 
     c2: int
     k: int = 3
@@ -406,12 +409,17 @@ class GhostBottleneck(nn.Module):
         c_ = self.c2 // 2
         y = GhostConv(c_, 1, 1, dtype=self.dtype, name="g1")(x, train)
         if self.s == 2:
-            y = DWConvBnAct(c_, self.k, self.s, c1=c_,
-                            dtype=self.dtype)(y, train)
-        y = GhostConv(self.c2, 1, 1, dtype=self.dtype, name="g2")(y, train)
-        if self.s == 1 and x.shape[-1] == self.c2:
-            return x + y
-        return y
+            y = DWConvBnAct(c_, self.k, self.s, c1=c_, act=None,
+                            dtype=self.dtype, name="dw")(y, train)
+        y = GhostConv(self.c2, 1, 1, act=None, dtype=self.dtype,
+                      name="g2")(y, train)
+        if self.s == 2:
+            sc = DWConvBnAct(x.shape[-1], self.k, self.s, c1=x.shape[-1],
+                             act=None, dtype=self.dtype, name="sc_dw")(x, train)
+            sc = ConvBnAct(self.c2, 1, 1, act=None, dtype=self.dtype,
+                           name="sc_pw")(sc, train)
+            return y + sc
+        return y + x  # identity shortcut (requires c1 == c2 like the ref)
 
 
 class MixConv2d(nn.Module):
@@ -437,7 +445,8 @@ class MixConv2d(nn.Module):
         y = jnp.concatenate(outs, axis=-1)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(y)
-        return leaky_relu_01(y)
+        # residual (experimental.py:95) — requires c1 == c2 like the ref
+        return x + leaky_relu_01(y)
 
 
 class AttentionModel(nn.Module):
@@ -560,11 +569,13 @@ class ACmix(nn.Module):
         f_fc = nn.Dense(self.kernel_conv ** 2, use_bias=False,
                         dtype=self.dtype, name="fc")(f_all)    # (b,hw,hd,k^2)
         f_conv = f_fc.reshape(b, h, w, hd * self.kernel_conv ** 2)
+        # reference reset_parameters assigns dep_conv.bias = init_rate_0(...)
+        # which returns None -> the bias is literally removed (common.py:521)
         pc = self.kernel_conv // 2
         out_conv = nn.Conv(co, (self.kernel_conv, self.kernel_conv),
                            strides=(self.s, self.s),
                            padding=[(pc, pc), (pc, pc)],
-                           feature_group_count=hd, use_bias=True,
+                           feature_group_count=hd, use_bias=False,
                            dtype=self.dtype, name="dep_conv")(f_conv)
 
         rate1 = self.param("rate1", lambda k_, s_: jnp.full(s_, 0.5), (1,))
@@ -601,7 +612,9 @@ class Sum(nn.Module):
     def __call__(self, xs, train: bool = False):
         y = xs[0]
         if self.weight:
-            w = self.param("w", lambda k, s: -jnp.arange(1.0, s[0] + 1.0),
+            # init -arange(1, n)/2 (experimental.py:33)
+            w = self.param("w",
+                           lambda k, s: -jnp.arange(1.0, s[0] + 1.0) / 2.0,
                            (self.n - 1,))
             w = jax.nn.sigmoid(w) * 2.0
             for i in range(self.n - 1):

@@ -1,0 +1,175 @@
+"""Golden geometry tests: our device augmentation vs the reference's
+numpy/cv2 functions (datasets.py:980-996,1151-1181,1184-1278), run with the
+SAME transform parameters. Requires torch (reference module import) + cv2.
+"""
+
+import math
+import random
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from sodt_tpu.data.augment import (compose_perspective_matrix, warp_labels,
+                                   affine_sample, hsv_apply, box_candidates)
+from sodt_tpu.ops.letterbox import letterbox_params
+
+
+@pytest.fixture(scope="module")
+def ref_ds():
+    """Import the reference datasets module with dependency shims."""
+    sys.path.insert(0, "/root/reference")
+    for name in ["torchvision", "torchvision.ops", "seaborn", "wandb",
+                 "pafy", "thop", "numba"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].nms = None
+    sys.modules["numba"].jit = lambda *a, **k: (
+        a[0] if a and callable(a[0]) else (lambda f: f))
+    import importlib
+    return importlib.import_module("basics.utils.datasets")
+
+
+def _draw_reference_params(seed, degrees, translate, scale, shear,
+                           perspective, width, height):
+    """Replay the reference random_perspective's `random.uniform` sequence
+    (datasets.py:1195-1217 draw order)."""
+    random.seed(seed)
+    px = random.uniform(-perspective, perspective)
+    py = random.uniform(-perspective, perspective)
+    a = random.uniform(-degrees, degrees)
+    s = random.uniform(1 - scale, 1 + scale)
+    shx = math.degrees(math.atan(math.tan(
+        random.uniform(-shear, shear) * math.pi / 180)))
+    shy = math.degrees(math.atan(math.tan(
+        random.uniform(-shear, shear) * math.pi / 180)))
+    tx = random.uniform(0.5 - translate, 0.5 + translate) * width
+    ty = random.uniform(0.5 - translate, 0.5 + translate) * height
+    return px, py, a, s, shx, shy, tx, ty
+
+
+@pytest.mark.parametrize("seed", [0, 3, 7, 11])
+@pytest.mark.parametrize("perspective", [0.0, 0.0005])
+def test_random_perspective_labels_golden(ref_ds, seed, perspective):
+    """Same matrix params -> our compose + warp_labels must reproduce the
+    reference's warped labels AND its box_candidates survivor set."""
+    hyp = dict(degrees=10.0, translate=0.1, scale=0.5, shear=5.0,
+               perspective=perspective)
+    size = 128
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 255, (size, size, 3), np.uint8)
+    ir = img.copy()
+    n = 14
+    cx = rng.uniform(10, size - 10, n)
+    cy = rng.uniform(10, size - 10, n)
+    w = rng.uniform(3, 40, n)
+    h = rng.uniform(3, 40, n)
+    targets = np.stack([rng.integers(0, 3, n).astype(np.float64),
+                        cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+    targets[:, 1:] = targets[:, 1:].clip(0, size)
+
+    random.seed(seed)
+    _, _, ref_targets = ref_ds.random_perspective(
+        img.copy(), ir.copy(), targets.copy(), border=(0, 0), **hyp)
+
+    px, py, a, s, shx, shy, tx, ty = _draw_reference_params(
+        seed, hyp["degrees"], hyp["translate"], hyp["scale"], hyp["shear"],
+        hyp["perspective"], size, size)
+    m = compose_perspective_matrix(px, py, a, s, shx, shy, tx, ty,
+                                   (size, size))
+    new, keep = warp_labels(jnp.asarray(targets[:, 1:], jnp.float32),
+                            jnp.ones(n, bool), m, (size, size), s)
+    ours = np.asarray(new)[np.asarray(keep)]
+    assert ours.shape[0] == ref_targets.shape[0], \
+        (ours.shape, ref_targets.shape)
+    np.testing.assert_allclose(ours, ref_targets[:, 1:], atol=5e-2)
+    # survivor identity (classes), not just count
+    np.testing.assert_array_equal(
+        np.asarray(targets[np.asarray(keep), 0]), ref_targets[:, 0])
+
+
+def test_affine_warp_image_golden(ref_ds):
+    """cv2.warpAffine vs our inverse-map bilinear sampler with the same M
+    on a smooth image (interior pixels; borders differ by filter policy)."""
+    size = 96
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    img = np.stack([xx * 2, yy * 2, (xx + yy)], -1)  # smooth gradients
+
+    m = np.asarray(compose_perspective_matrix(
+        0.0, 0.0, 8.0, 1.1, 3.0, -2.0, 0.55 * size, 0.48 * size,
+        (size, size)), np.float64)
+    ref = cv2.warpAffine(img, m[:2], dsize=(size, size),
+                         borderValue=(114, 114, 114))
+    ours = np.asarray(affine_sample(jnp.asarray(img),
+                                    jnp.asarray(np.linalg.inv(m),
+                                                jnp.float32),
+                                    (size, size)))
+    # compare away from pad borders: mask where both are non-pad
+    interior = (np.abs(ref - 114).sum(-1) > 1) & \
+               (np.abs(ours - 114).sum(-1) > 1)
+    assert interior.mean() > 0.5
+    diff = np.abs(ref - ours)[interior]
+    assert np.percentile(diff, 99) < 1.0, np.percentile(diff, 99)
+
+
+def test_hsv_golden_vs_cv2_lut(ref_ds):
+    """Our float HSV math vs the reference's uint8 LUT pipeline with the
+    same gains (datasets.py:980-996); tolerance covers LUT quantization."""
+    rng = np.random.default_rng(5)
+    img_bgr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+
+    gains = np.array([0.01, 0.4, -0.3])  # fixed draws of uniform(-1,1)
+    r = gains * np.array([0.015, 0.7, 0.4]) + 1
+
+    # reference path (operates in place on BGR)
+    ref_img = img_bgr.copy()
+    hue, sat, val = cv2.split(cv2.cvtColor(ref_img, cv2.COLOR_BGR2HSV))
+    x = np.arange(0, 256, dtype=np.int16)
+    lut_hue = ((x * r[0]) % 180).astype(np.uint8)
+    lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
+    lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
+    img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat),
+                         cv2.LUT(val, lut_val)))
+    cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=ref_img)
+    ref_rgb = ref_img[..., ::-1].astype(np.float32)
+
+    ours = np.asarray(hsv_apply(jnp.asarray(img_bgr[..., ::-1],
+                                            jnp.float32),
+                                jnp.asarray(r, jnp.float32)))
+    diff = np.abs(ours - ref_rgb)
+    # uint8 LUT quantizes hue to 2-degree steps -> a few-level differences
+    assert np.median(diff) <= 2.0, np.median(diff)
+    assert (diff < 8).mean() > 0.97, (diff < 8).mean()
+
+
+def test_box_candidates_golden(ref_ds):
+    rng = np.random.default_rng(9)
+    b1 = rng.uniform(0, 100, (40, 4))
+    b1[:, 2:] = b1[:, :2] + rng.uniform(0, 50, (40, 2))
+    b2 = b1 + rng.normal(0, 12, b1.shape)
+    b2[:, 2:] = np.maximum(b2[:, 2:], b2[:, :2])  # keep x2>=x1
+    ref = ref_ds.box_candidates(box1=b1.T, box2=b2.T)
+    ours = np.asarray(box_candidates(jnp.asarray(b1, jnp.float32),
+                                     jnp.asarray(b2, jnp.float32)))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_letterbox_golden(ref_ds):
+    """letterbox geometry (ratio, padding) vs the reference for non-square
+    inputs under the eval protocol (auto=False, scaleup=False)."""
+    for (h, w), new in [((480, 640), 512), ((512, 384), 512),
+                        ((300, 520), 512)]:
+        img = np.zeros((h, w, 3), np.uint8)
+        _, ratio, (dw, dh) = ref_ds.letterbox(
+            img, new_shape=(new, new), auto=False, scaleup=False)
+        ratio_o, _, (dw_o, dh_o) = letterbox_params(
+            (h, w), (new, new), auto=False, scaleup=False)
+        np.testing.assert_allclose(ratio, ratio_o, atol=1e-6)
+        np.testing.assert_allclose((dw, dh), (dw_o, dh_o), atol=1e-6)

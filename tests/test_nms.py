@@ -61,6 +61,8 @@ def test_multi_label_expansion():
 
 def test_against_torchvision():
     torchvision = pytest.importorskip("torchvision")
+    if getattr(getattr(torchvision, "ops", None), "nms", None) is None:
+        pytest.skip("torchvision is a parity-test shim, not the real pkg")
     import torch
 
     rng = np.random.default_rng(7)

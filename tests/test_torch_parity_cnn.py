@@ -148,3 +148,243 @@ def test_mf_parity(refc):
     got = ours.apply({"params": params},
                      [nhwc(rgb), nhwc(ir)], train=False)
     np.testing.assert_allclose(nchw(got), want, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: parity for the remaining CNN / attention / experimental modules
+# (reference common.py:78-162,214-244,448-561; experimental.py:11-95)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def refe(refc):
+    """Reference experimental.py (imports common + google_utils)."""
+    import importlib
+    return importlib.import_module("basics.models.experimental")
+
+
+def _randomize_bn(mod):
+    for m in mod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+
+def raw_conv(tc):
+    p = {"kernel": conv_w(tc.weight)}
+    if tc.bias is not None:
+        p["bias"] = t2j(tc.bias)
+    return p
+
+
+def bn_params(bn):
+    return ({"scale": t2j(bn.weight), "bias": t2j(bn.bias)},
+            {"mean": t2j(bn.running_mean), "var": t2j(bn.running_var)})
+
+
+def bottleneck_params(m):
+    p1, s1 = conv_params(m.cv1)
+    p2, s2 = conv_params(m.cv2)
+    return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+
+
+def test_bottleneck_csp_parity(refc):
+    from sodt_tpu.models.layers import BottleneckCSP
+    torch.manual_seed(6)
+    tb = refc.BottleneckCSP(16, 16, n=2)
+    _randomize_bn(tb)
+    params, stats = {}, {}
+    params["cv1"], stats["cv1"] = conv_params(tb.cv1)
+    params["cv4"], stats["cv4"] = conv_params(tb.cv4)
+    params["cv2"] = raw_conv(tb.cv2)
+    params["cv3"] = raw_conv(tb.cv3)
+    params["bn"], stats["bn"] = bn_params(tb.bn)
+    for i, m in enumerate(tb.m):
+        params[f"m{i}"], stats[f"m{i}"] = bottleneck_params(m)
+    x = torch.randn(2, 16, 8, 8)
+    _run(tb, BottleneckCSP(16, n=2), params, stats, x)
+
+
+def test_bottleneck_csp2_parity(refc):
+    from sodt_tpu.models.layers import BottleneckCSP2
+    torch.manual_seed(7)
+    tb = refc.BottleneckCSP2(16, 16, n=2)
+    _randomize_bn(tb)
+    params, stats = {}, {}
+    params["cv1"], stats["cv1"] = conv_params(tb.cv1)
+    params["cv3"], stats["cv3"] = conv_params(tb.cv3)
+    params["cv2"] = raw_conv(tb.cv2)
+    params["bn"], stats["bn"] = bn_params(tb.bn)
+    for i, m in enumerate(tb.m):
+        params[f"m{i}"], stats[f"m{i}"] = bottleneck_params(m)
+    x = torch.randn(2, 16, 8, 8)
+    _run(tb, BottleneckCSP2(16, n=2), params, stats, x)
+
+
+def test_sppcsp_parity(refc):
+    from sodt_tpu.models.layers import SPPCSP
+    torch.manual_seed(8)
+    ts = refc.SPPCSP(16, 16)
+    _randomize_bn(ts)
+    params, stats = {}, {}
+    for name in ("cv1", "cv3", "cv4", "cv5", "cv6", "cv7"):
+        params[name], stats[name] = conv_params(getattr(ts, name))
+    params["cv2"] = raw_conv(ts.cv2)
+    params["bn"], stats["bn"] = bn_params(ts.bn)
+    x = torch.randn(2, 16, 16, 16)
+    _run(ts, SPPCSP(16), params, stats, x)
+
+
+def test_crossconv_parity(refe):
+    from sodt_tpu.models.layers import CrossConv
+    torch.manual_seed(9)
+    tc = refe.CrossConv(16, 16, k=3, s=1, shortcut=True)
+    _randomize_bn(tc)
+    params, stats = {}, {}
+    params["cv1"], stats["cv1"] = conv_params(tc.cv1)
+    params["cv2"], stats["cv2"] = conv_params(tc.cv2)
+    x = torch.randn(2, 16, 8, 8)
+    _run(tc, CrossConv(16, shortcut=True), params, stats, x)
+
+
+def test_ghostconv_parity(refe):
+    from sodt_tpu.models.layers import GhostConv
+    torch.manual_seed(10)
+    tg = refe.GhostConv(8, 16)
+    _randomize_bn(tg)
+    params, stats = {}, {}
+    params["cv1"], stats["cv1"] = conv_params(tg.cv1)
+    params["cv2"], stats["cv2"] = conv_params(tg.cv2)
+    x = torch.randn(2, 8, 8, 8)
+    _run(tg, GhostConv(16), params, stats, x)
+
+
+@pytest.mark.parametrize("s", [1, 2])
+def test_ghostbottleneck_parity(refe, s):
+    from sodt_tpu.models.layers import GhostBottleneck
+    torch.manual_seed(11 + s)
+    tg = refe.GhostBottleneck(16, 16, k=3, s=s)
+    _randomize_bn(tg)
+
+    def ghost_params(g):
+        p1, s1 = conv_params(g.cv1)
+        p2, s2 = conv_params(g.cv2)
+        return {"cv1": p1, "cv2": p2}, {"cv1": s1, "cv2": s2}
+
+    params, stats = {}, {}
+    params["g1"], stats["g1"] = ghost_params(tg.conv[0])
+    params["g2"], stats["g2"] = ghost_params(tg.conv[2])
+    if s == 2:
+        params["dw"], stats["dw"] = conv_params(tg.conv[1])
+        params["sc_dw"], stats["sc_dw"] = conv_params(tg.shortcut[0])
+        params["sc_pw"], stats["sc_pw"] = conv_params(tg.shortcut[1])
+    x = torch.randn(2, 16, 8, 8)
+    _run(tg, GhostBottleneck(16, s=s), params, stats, x)
+
+
+def test_mixconv2d_parity(refe):
+    from sodt_tpu.models.layers import MixConv2d
+    torch.manual_seed(13)
+    tm = refe.MixConv2d(16, 16, k=(1, 3))
+    _randomize_bn(tm)
+    params, stats = {}, {}
+    for i, m in enumerate(tm.m):
+        params[f"m{i}"] = raw_conv(m)
+    params["bn"], stats["bn"] = bn_params(tm.bn)
+    x = torch.randn(2, 16, 8, 8)
+    _run(tm, MixConv2d(16), params, stats, x)
+
+
+def test_sum_parity(refe):
+    from sodt_tpu.models.layers import Sum
+    torch.manual_seed(14)
+    ts = refe.Sum(3, weight=True)
+    with torch.no_grad():
+        ts.w.normal_(0, 1.0)
+    xs = [torch.randn(2, 8, 4, 4) for _ in range(3)]
+    with torch.no_grad():
+        want = ts(xs).numpy()
+    got = Sum(n=3, weight=True).apply(
+        {"params": {"w": t2j(ts.w)}}, [nhwc(t) for t in xs], train=False)
+    np.testing.assert_allclose(nchw(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_contract_expand_parity(refc):
+    from sodt_tpu.models.layers import Contract, Expand
+    x = torch.randn(2, 16, 8, 8)
+    with torch.no_grad():
+        want_c = refc.Contract(gain=2)(x).numpy()
+        want_e = refc.Expand(gain=2)(x).numpy()
+    got_c = Contract(gain=2).apply({}, nhwc(x), train=False)
+    got_e = Expand(gain=2).apply({}, nhwc(x), train=False)
+    np.testing.assert_allclose(nchw(got_c), want_c, atol=1e-6)
+    np.testing.assert_allclose(nchw(got_e), want_e, atol=1e-6)
+
+
+def test_attention_model_parity(refc):
+    from sodt_tpu.models.layers import AttentionModel
+    torch.manual_seed(15)
+    ta = refc.AttentionModel(8).eval()
+    x = torch.randn(2, 8, 8, 8)
+    with torch.no_grad():
+        _, want = ta(x)  # reference returns (map, output)
+    params = {"conv": raw_conv(ta.conv)}
+    got = AttentionModel(8).apply({"params": params}, nhwc(x), train=False)
+    np.testing.assert_allclose(nchw(got), want.numpy(), atol=2e-5, rtol=1e-4)
+
+
+def test_sdpa_only_parity(refc):
+    from sodt_tpu.models.layers import ScaledDotProductAttentionOnly
+    torch.manual_seed(16)
+    temp = 8.0 ** 0.5
+    ts = refc.ScaledDotProductAttentionOnly(temp)
+    v = torch.randn(2, 8, 6, 6)
+    k = torch.randn(2, 8, 6, 6)
+    q = torch.randn(2, 8, 6, 6)
+    with torch.no_grad():
+        want = ts(v, k, q).numpy()
+    got = ScaledDotProductAttentionOnly(temperature=temp).apply(
+        {}, [nhwc(v), nhwc(k), nhwc(q)], train=False)
+    np.testing.assert_allclose(nchw(got), want, atol=1e-4, rtol=1e-4)
+
+
+def test_classify_parity(refc):
+    from sodt_tpu.models.layers import Classify
+    torch.manual_seed(17)
+    tc = refc.Classify(16, 5).eval()
+    x = torch.randn(2, 16, 8, 8)
+    with torch.no_grad():
+        want = tc(x).numpy()
+    got = Classify(5).apply({"params": {"conv": raw_conv(tc.conv)}},
+                            nhwc(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_acmix_parity(refc):
+    """The most intricate port in layers.py: unfold local attention with
+    positional encoding + shared-projection depthwise-conv branch
+    (common.py:485-561)."""
+    from sodt_tpu.models.layers import ACmix
+    torch.manual_seed(18)
+    tm = refc.ACmix(8, 16, kernel_att=5, head=4, kernel_conv=3, stride=1)
+    # reset_parameters leaves dep_conv with bias=None (init_rate_0 returns
+    # None); randomize the structured kernel + rates so the test is strict
+    assert tm.dep_conv.bias is None
+    with torch.no_grad():
+        tm.dep_conv.weight.normal_(0, 0.2)
+        tm.rate1.normal_(0.5, 0.2)
+        tm.rate2.normal_(0.5, 0.2)
+    tm = tm.eval()
+    x = torch.randn(2, 8, 12, 12)
+    with torch.no_grad():
+        want = tm(x).numpy()
+
+    params = {
+        "conv1": raw_conv(tm.conv1), "conv2": raw_conv(tm.conv2),
+        "conv3": raw_conv(tm.conv3), "conv_p": raw_conv(tm.conv_p),
+        "fc": {"kernel": lin_w(tm.fc.weight[:, :, 0, 0])},
+        "dep_conv": raw_conv(tm.dep_conv),
+        "rate1": t2j(tm.rate1), "rate2": t2j(tm.rate2),
+    }
+    got = ACmix(16, kernel_att=5, head=4, kernel_conv=3, s=1).apply(
+        {"params": params}, nhwc(x), train=False)
+    np.testing.assert_allclose(nchw(got), want, atol=5e-4, rtol=1e-3)
