@@ -15,20 +15,23 @@ from __future__ import annotations
 import optax
 import optax.contrib
 
-from .optim import make_optimizer
+from .optim import (make_optimizer, reference_accumulate,
+                    warmup_accumulate_plan, warmup_iters_of)
 
 
 def make_sam_optimizer(hyp: dict, params, epochs: int, nb: int, *,
                        rho: float = 0.05, adam: bool = False,
                        linear_lr: bool = False, accumulate: int = 1):
     """SAM(base) with the reference's rho=0.05 default (sam.py:7)."""
-    # schedules calibrated for `accumulate`, but the MultiSteps wrapper goes
-    # OUTSIDE the SAM composition (ascent must see accumulated gradients)
+    # schedules calibrated for `accumulate`, but the accumulation wrapper
+    # goes OUTSIDE the SAM composition (ascent must see summed gradients)
     base = make_optimizer(hyp, params, epochs=epochs, nb=nb, adam=adam,
                           linear_lr=linear_lr, accumulate=accumulate,
-                          wrap_multisteps=False)
+                          wrap_accumulate=False)
     adv = optax.chain(optax.contrib.normalize(), optax.scale(rho))
     tx = optax.contrib.sam(base, adv, opaque_mode=True)
     if accumulate > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+        gate_fn, _ = warmup_accumulate_plan(accumulate,
+                                            warmup_iters_of(hyp, nb))
+        tx = reference_accumulate(tx, gate_fn)
     return tx

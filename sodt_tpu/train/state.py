@@ -98,7 +98,9 @@ def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
         new_params = optax.apply_updates(state.params, updates)
 
         if accumulate > 1:
-            did_step = new_opt.mini_step == 0
+            did_step = (new_opt.just_stepped
+                        if hasattr(new_opt, "just_stepped")
+                        else new_opt.mini_step == 0)
         else:
             did_step = jnp.asarray(True)
 

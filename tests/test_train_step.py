@@ -95,8 +95,9 @@ def test_batchnorm_stats_update():
 def test_checkpoint_resume_bit_identical(tmp_path):
     """Train 4 steps, checkpoint, resume into a FRESH optimizer, train 4
     more; params/opt_state must match an uninterrupted 8-step run bitwise.
-    Uses accumulate=2 so MultiSteps counters are exercised (the reference
-    restores the full optimizer.state_dict, Train.py:171-195)."""
+    Uses accumulate=2 so the reference_accumulate counters/accumulator are
+    exercised (the reference restores the full optimizer.state_dict,
+    Train.py:171-195)."""
     from sodt_tpu.train.checkpoint import (save_checkpoint, load_checkpoint,
                                            restore_opt_state)
 
@@ -206,3 +207,47 @@ def test_sr_training_step():
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"])) and "sr" in m
     assert float(m["sr"]) > 0
+
+
+def test_warmup_accumulate_plan_matches_reference_formula():
+    """gate_fn / ni_of_step vs a literal replay of Train.py:387,448-453."""
+    from sodt_tpu.train.optim import warmup_accumulate_plan
+    k_final, nw = 4, 37
+    gate_fn, ni_of_step = warmup_accumulate_plan(k_final, nw)
+    steps = []
+    for ni in range(120):
+        if ni <= nw:
+            k = max(1, int(round(np.interp(ni, [0, nw],
+                                           [1.0, float(k_final)]))))
+        else:
+            k = k_final
+        fire = ni % k == 0
+        assert bool(gate_fn(ni)) == fire, ni
+        if fire:
+            steps.append(ni)
+    for g, ni in enumerate(steps):
+        assert int(ni_of_step(g)) == ni, (g, ni)
+
+
+def test_reference_accumulate_sums_gradients():
+    """The wrapper must SUM grads between fires (backward() semantics), not
+    average like optax.MultiSteps, and fire on the ni%k==0 cadence."""
+    import optax
+    from sodt_tpu.train.optim import reference_accumulate
+
+    inner = optax.scale(-0.1)
+    gate = lambda ni: ni % 2 == 0  # fixed k=2 cadence
+    tx = reference_accumulate(inner, gate)
+    p = {"w": jnp.ones(3)}
+    st = tx.init(p)
+    g = {"w": jnp.full(3, 2.0)}
+
+    ups, st = tx.update(g, st, p)   # ni=0 fires with just g
+    np.testing.assert_allclose(np.asarray(ups["w"]), -0.2)
+    assert bool(st.just_stepped)
+    ups, st = tx.update(g, st, p)   # ni=1 skips
+    np.testing.assert_allclose(np.asarray(ups["w"]), 0.0)
+    assert not bool(st.just_stepped)
+    ups, st = tx.update(g, st, p)   # ni=2 fires with 2 accumulated grads
+    np.testing.assert_allclose(np.asarray(ups["w"]), -0.4)
+    assert bool(st.just_stepped)
