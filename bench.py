@@ -2,18 +2,22 @@
 """Benchmark: VEDAI end-to-end images/sec/chip at 512 px (BASELINE.json).
 
 Measures the full inference path on the flagship config (model.yaml:
-cross-channel attention + enhanced SWIN + YOLO head) — forward, Detect
-decode, and on-device NMS — as one jitted program in bf16, end to end from
-[0,1] float image batches.
+cross-channel attention + enhanced SWIN + YOLO head) truly end to end:
+uint8 host batches -> host-to-device transfer -> normalize (/255) ->
+forward -> Detect decode -> on-device NMS, bf16 compute. Also measures
+training-step throughput (forward + loss + backward + optimizer + EMA) and
+reports MFU from XLA's own HLO cost analysis against the chip's bf16 peak.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. Primary fields keep the round-over-round contract
+{"metric", "value", "unit", "vs_baseline"}; supplementary fields:
+inference_ips, train_ips, inference_mfu, train_mfu, gflops_per_img.
 
 `vs_baseline` divides by an estimated PyTorch-GPU end-to-end throughput for
 the same model at 512 px. The reference repo publishes no numbers
 (BASELINE.md), so the denominator is an engineering estimate for a single
 modern datacenter GPU running the reference eval loop (fp16, batched, CUDA
 NMS); treat it as a stable yardstick across rounds rather than a measured
-opponent.
+opponent. The MFU fields are the honest hardware evidence.
 """
 
 from __future__ import annotations
@@ -25,19 +29,36 @@ import time
 import numpy as np
 
 ESTIMATED_REFERENCE_GPU_IPS = 120.0  # see module docstring
+V5E_BF16_PEAK_FLOPS = 197e12         # TPU v5e peak, bf16
+
+
+def _timed_window(run_iter, iters: int, repeats: int = 3) -> float:
+    """Best-of-N timed windows; every iteration feeds a checksum fetched at
+    the window end so async dispatch can't fake completion."""
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for i in range(iters):
+            acc = acc + run_iter(i)
+        assert np.isfinite(float(acc))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="small shapes for CPU verification")
-    p.add_argument("--batch-size", type=int, default=0,
-                   help="0 = auto")
+    p.add_argument("--batch-size", type=int, default=0, help="0 = auto")
+    p.add_argument("--train-batch-size", type=int, default=0)
     p.add_argument("--img-size", type=int, default=0)
     p.add_argument("--cfg", default="configs/model.yaml")
     p.add_argument("--iters", type=int, default=0)
     p.add_argument("--top-k", type=int, default=0, help="NMS candidate cap")
-    p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
+    p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--platform", default="",
+                   help="force jax platform (e.g. cpu)")
     a = p.parse_args()
 
     import jax
@@ -46,10 +67,13 @@ def main():
     import jax.numpy as jnp
     from sodt_tpu.models import build_model
     from sodt_tpu.train.evaluate import make_eval_step
+    from sodt_tpu.utils.profiler import flops_estimate
 
     img_size = a.img_size or (128 if a.quick else 512)
     batch = a.batch_size or (2 if a.quick else 128)
     iters = a.iters or (3 if a.quick else 8)
+    on_cpu = (a.platform == "cpu") or jax.default_backend() == "cpu"
+    peak = None if on_cpu else V5E_BF16_PEAK_FLOPS
 
     model = build_model(a.cfg, ch_in=4, dtype=jnp.bfloat16,
                         input_mode="RGB+IR")
@@ -64,40 +88,111 @@ def main():
                           multi_label=False,
                           top_k=a.top_k or (1024 if a.quick else 2048))
 
+    @jax.jit
+    def step_u8(variables, img_u8, ir_u8):
+        img = img_u8.astype(jnp.float32) / 255.0
+        ir = ir_u8.astype(jnp.float32) / 255.0
+        dets, valid, _ = step(variables, img, ir)
+        return dets
+
+    # uint8 HOST arrays: the timed loop pays decode-to-device transfer +
+    # normalization, like a real serving path fed by the native loader
     rng = np.random.default_rng(0)
-    n_inputs = 4  # rotate inputs so no runtime-level memoization can hide work
-    imgs = [jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
-            for _ in range(n_inputs)]
-    irs = [jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
-           for _ in range(n_inputs)]
+    n_inputs = 4  # rotate inputs so no runtime memoization can hide work
+    u8 = lambda: rng.integers(0, 256, x0.shape, np.uint8)
+    imgs = [u8() for _ in range(n_inputs)]
+    irs = [u8() for _ in range(n_inputs)]
 
-    dets, valid, _ = step(variables, imgs[0], irs[0])  # compile
-    np.asarray(dets)  # materialize on host
+    np.asarray(step_u8(variables, imgs[0], irs[0]))  # compile + materialize
 
-    # timed windows: every iteration's output feeds a running checksum that
-    # is fetched to host at the window end, so async dispatch can't fake
-    # completion. Best-of-3 windows damps host/tunnel dispatch jitter.
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(iters):
-            dets, valid, _ = step(variables, imgs[i % n_inputs],
-                                  irs[i % n_inputs])
-            acc = acc + dets.sum()
-        acc_host = float(acc)
-        assert np.isfinite(acc_host)
-        best = min(best, time.perf_counter() - t0)
-    dt = best
+    def infer_iter(i):
+        dets = step_u8(variables, jnp.asarray(imgs[i % n_inputs]),
+                       jnp.asarray(irs[i % n_inputs]))
+        return dets.sum()
 
+    dt = _timed_window(infer_iter, iters)
     n_chips = jax.device_count()
-    ips_per_chip = batch * iters / dt / n_chips
-    print(json.dumps({
+    ips = batch * iters / dt / n_chips
+
+    # analytical FLOPs of the full inference program (fwd+decode+NMS)
+    fl = flops_estimate(step_u8, variables, jnp.asarray(imgs[0]),
+                        jnp.asarray(irs[0]))
+    gflops_img = (fl / batch / 1e9) if fl else None
+    inf_mfu = (fl / batch * ips / peak) if (fl and peak) else None
+
+    out = {
         "metric": "VEDAI end-to-end images/sec/chip at 512px",
-        "value": round(ips_per_chip, 2),
+        "value": round(ips, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips_per_chip / ESTIMATED_REFERENCE_GPU_IPS, 3),
-    }))
+        "vs_baseline": round(ips / ESTIMATED_REFERENCE_GPU_IPS, 3),
+        "inference_ips": round(ips, 2),
+    }
+    if gflops_img:
+        out["gflops_per_img"] = round(gflops_img, 1)
+    if inf_mfu is not None:
+        out["inference_mfu"] = round(inf_mfu, 4)
+
+    if not a.skip_train:
+        from sodt_tpu.train.loss import LossConfig
+        from sodt_tpu.train.optim import make_optimizer
+        from sodt_tpu.train.state import TrainState, make_train_step
+
+        tbatch = a.train_batch_size or (2 if a.quick else 32)
+        tmodel = build_model(a.cfg, ch_in=4, dtype=jnp.bfloat16,
+                             input_mode="RGB+IR", remat=not a.quick)
+        xt = jnp.zeros((tbatch, img_size, img_size, 3), jnp.float32)
+        tvars = jax.jit(lambda k: tmodel.init(k, xt, xt, train=True))(
+            jax.random.PRNGKey(0))
+        hyp = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.937,
+               "warmup_iters": 1, "warmup_momentum": 0.8,
+               "warmup_bias_lr": 0.1, "box": 0.05, "cls": 0.5,
+               "cls_pw": 1.0, "obj": 1.0, "obj_pw": 1.0, "anchor_t": 4.0,
+               "fl_gamma": 0.0}
+        cfg = LossConfig(nc=tmodel.spec.nc, anchors=tmodel.spec.anchors,
+                         strides=tmodel.spec.detect_strides)
+        tx = make_optimizer(hyp, tvars["params"], epochs=10, nb=100)
+        state = TrainState.create(tvars["params"], tvars["batch_stats"], tx)
+        tstep = jax.jit(make_train_step(tmodel, tx, cfg))
+
+        targets = np.zeros((tbatch, 30, 5), np.float32)
+        targets[:, 0] = [1, 0.5, 0.5, 0.2, 0.2]
+        tmask = np.zeros((tbatch, 30), bool)
+        tmask[:, 0] = True
+        timgs = [u8() if tbatch == batch else
+                 rng.integers(0, 256, xt.shape, np.uint8)
+                 for _ in range(n_inputs)]
+        tj = jnp.asarray(targets)
+        tm = jnp.asarray(tmask)
+
+        state, m0 = tstep(state, {"img": jnp.asarray(timgs[0], jnp.float32)
+                                  / 255.0,
+                                  "ir": jnp.asarray(timgs[0], jnp.float32)
+                                  / 255.0,
+                                  "targets": tj, "tmask": tm})
+        jax.block_until_ready(m0["loss"])
+
+        state_box = [state]
+
+        def train_iter(i):
+            img = jnp.asarray(timgs[i % n_inputs], jnp.float32) / 255.0
+            s, m = tstep(state_box[0], {"img": img, "ir": img,
+                                        "targets": tj, "tmask": tm})
+            state_box[0] = s
+            return m["loss"]
+
+        titers = max(iters // 2, 2)
+        tdt = _timed_window(train_iter, titers, repeats=2)
+        tips = tbatch * titers / tdt / n_chips
+        out["train_ips"] = round(tips, 2)
+        tfl = flops_estimate(tstep, state_box[0],
+                             {"img": jnp.asarray(timgs[0], jnp.float32)
+                              / 255.0,
+                              "ir": jnp.asarray(timgs[0], jnp.float32)
+                              / 255.0, "targets": tj, "tmask": tm})
+        if tfl and peak:
+            out["train_mfu"] = round(tfl / tbatch * tips / peak, 4)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

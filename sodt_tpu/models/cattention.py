@@ -107,7 +107,7 @@ class CAttentionBlock(nn.Module):
             b_out = unpart(att("rgb2ir_attn")(bw, irw, irw, mask))
             ir_out = unpart(att("ir2rgb_attn")(irw, gw, gw, mask))
 
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                                       name=name)
+        from .norm import FusedLayerNorm
+        ln = lambda name: FusedLayerNorm(dtype=self.dtype, name=name)
         return (ln("norm1")(r + r_out), ln("norm2")(g + g_out),
                 ln("norm3")(b + b_out), ln("norm4")(ir + ir_out))

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .norm import FusedLayerNorm, FusedAddLayerNorm
+
 DType = Any
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
@@ -196,7 +198,7 @@ class SwinBlock(nn.Module):
         assert l == h * w, (l, h, w)
 
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
@@ -207,9 +209,10 @@ class SwinBlock(nn.Module):
                             dtype=self.dtype, name="attn")(x, mask)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
-        x = shortcut + x.reshape(b, l, c)
 
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        # residual add + norm2 fused into one HBM pass
+        x, y = FusedAddLayerNorm(dtype=self.dtype, name="norm2")(
+            shortcut, x.reshape(b, l, c))
         y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
                 linear=self.linear_mlp, dtype=self.dtype, name="mlp")(y, (h, w))
         return x + y
@@ -233,7 +236,7 @@ class PatchMerging(nn.Module):
         x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return FusedLayerNorm(dtype=self.dtype, name="norm")(x)
 
 
 class PatchEmbed(nn.Module):

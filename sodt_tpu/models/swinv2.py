@@ -145,17 +145,18 @@ class SwinBlockV2(nn.Module):
             xs = jnp.roll(xs, shift=(shift, shift), axis=(1, 2))
         xs = xs.reshape(b, l, c)
         # post-norm, zero-initialized (residual starts as identity)
-        xs = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                          scale_init=nn.initializers.zeros,
-                          name="norm1")(xs)
+        from .norm import FusedLayerNorm
+        xs = FusedLayerNorm(dtype=self.dtype,
+                            scale_init=nn.initializers.zeros,
+                            name="norm1")(xs)
         x = shortcut + xs
 
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(x)
         y = jax.nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
-                         scale_init=nn.initializers.zeros, name="norm2")(y)
+        y = FusedLayerNorm(dtype=self.dtype,
+                           scale_init=nn.initializers.zeros, name="norm2")(y)
         return x + y
 
 

@@ -326,16 +326,63 @@ def reference_attention_nhwc(qkv, bias, mask, ws: int, nh: int,
     return out.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
+NEG_PACK = -1e9  # off-diagonal fill for window packing; exp() == 0 in f32
+
+
+def _pick_pack(n: int, gx: int) -> int:
+    """Windows to pack into one attention 'superwindow'.
+
+    N=ws*ws window tokens are tiny against the 128x128 MXU (stage-1: N=64,
+    hd=32 -> both matmuls half/quarter-filled). Packing m consecutive
+    windows into one m*N-token attention with a block-diagonal bias fills
+    the MXU (PV contraction 64 -> 128); the off-diagonal NEG_PACK entries
+    make softmax weights exactly 0 across windows, so the math is
+    unchanged at 2x the (cheap) attention FLOPs."""
+    if n >= 128:
+        return 1
+    m = 128 // n
+    while m > 1 and gx % m:
+        m //= 2
+    return max(m, 1)
+
+
+def pack_bias(bias, m: int):
+    """(nh, N, N) -> (nh, mN, mN) block-diagonal, NEG_PACK off-diagonal."""
+    if m == 1:
+        return bias
+    nh, n, _ = bias.shape
+    out = jnp.full((nh, m * n, m * n), NEG_PACK, bias.dtype)
+    for i in range(m):
+        out = out.at[:, i * n:(i + 1) * n, i * n:(i + 1) * n].set(bias)
+    return out
+
+
+def pack_mask(mask, m: int):
+    """(nW, N, N) -> (nW/m, mN, mN): consecutive windows on the diagonal
+    (zeros off-diagonal — pack_bias already carries the NEG_PACK fill)."""
+    if m == 1:
+        return mask
+    nw, n, _ = mask.shape
+    mm = mask.reshape(nw // m, m, n, n)
+    out = jnp.zeros((nw // m, m * n, m * n), mask.dtype)
+    for i in range(m):
+        out = out.at[:, i * n:(i + 1) * n, i * n:(i + 1) * n].set(mm[:, i])
+    return out
+
+
 def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
-                  scale: float, mask_ref=None):
+                  scale: float, pack: int = 1, mask_ref=None):
     strip = qkv_ref[0]                       # (ws, W, 3C)
     _, wdim, c3 = strip.shape
     g = wdim // ws
     n = ws * ws
     c = c3 // 3
     hd = c // nh
-    # (ws, W, 3C) -> (G windows, N tokens, 3C): VMEM-local reorganize
-    x = strip.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(g, n, c3)
+    gp, np_ = g // pack, pack * n
+    # (ws, W, 3C) -> (G windows, N tokens, 3C) -> packed (G/m, m*N, 3C):
+    # VMEM-local reorganize; consecutive windows share a superwindow
+    x = strip.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
+        gp, np_, c3)
     heads = []
     for hh in range(nh):
         q = x[:, :, hh * hd:(hh + 1) * hd]
@@ -352,7 +399,7 @@ def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         heads.append(o.astype(out_ref.dtype))
-    out = jnp.concatenate(heads, axis=-1)            # (G, N, C)
+    out = jnp.concatenate(heads, axis=-1)            # (G/m, m*N, C)
     out_ref[0] = out.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
         ws, wdim, c)
 
@@ -361,10 +408,15 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
     b, h, w, c3 = qkv.shape
     c = c3 // 3
     grid = (b, h // ws)
+    n = ws * ws
+    gx = w // ws
+    m = _pick_pack(n, gx)
+    np_ = m * n
+    bias_p = pack_bias(bias, m)
 
     qkv_spec = pl.BlockSpec((1, ws, w, c3), lambda bi, r: (bi, r, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((nh, ws * ws, ws * ws),
+    bias_spec = pl.BlockSpec((nh, np_, np_),
                              lambda bi, r: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
@@ -373,20 +425,21 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
 
     if mask is None:
         return pl.pallas_call(
-            functools.partial(_strip_kernel, ws=ws, nh=nh, scale=scale),
+            functools.partial(_strip_kernel, ws=ws, nh=nh, scale=scale,
+                              pack=m),
             grid=grid,
             in_specs=[qkv_spec, bias_spec],
             out_specs=out_spec,
             out_shape=out_shape,
-        )(qkv, bias)
+        )(qkv, bias_p)
 
     def kern(qkv_ref, bias_ref, mask_ref, out_ref):
         _strip_kernel(qkv_ref, bias_ref, out_ref, ws=ws, nh=nh, scale=scale,
-                      mask_ref=mask_ref)
+                      pack=m, mask_ref=mask_ref)
 
-    # mask windows are row-major, so row r owns mask rows [r*W/ws, ...)
-    gx = w // ws
-    mask_spec = pl.BlockSpec((gx, ws * ws, ws * ws),
+    # mask windows are row-major, so row r owns mask rows [r*gx/m, ...)
+    mask_p = pack_mask(jnp.asarray(mask, jnp.float32), m)
+    mask_spec = pl.BlockSpec((gx // m, np_, np_),
                              lambda bi, r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -394,7 +447,7 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
         in_specs=[qkv_spec, bias_spec, mask_spec],
         out_specs=out_spec,
         out_shape=out_shape,
-    )(qkv, bias, jnp.asarray(mask, jnp.float32))
+    )(qkv, bias_p, mask_p)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -411,7 +464,7 @@ def _fwa_nhwc_fwd(qkv, bias, mask, ws, nh, scale):
 
 def _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
                       ws: int, nh: int, scale: float, n_chunks: int = 1,
-                      mask_ref=None):
+                      pack: int = 1, mask_ref=None):
     strip = qkv_ref[0]
     _, wdim, c3 = strip.shape
     n = ws * ws
@@ -427,13 +480,14 @@ def _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
     # strip columns, so chunking is a static slice on both ends
     wchunk = wdim // n_chunks
     gchunk = wchunk // ws
+    gp, np_ = gchunk // pack, pack * n
     for ci in range(n_chunks):
         xs = strip[:, ci * wchunk:(ci + 1) * wchunk]
         x = xs.reshape(ws, gchunk, ws, c3).transpose(1, 0, 2, 3).reshape(
-            gchunk, n, c3)
+            gp, np_, c3)
         gys = g_ref[0][:, ci * wchunk:(ci + 1) * wchunk]
         gy = gys.reshape(ws, gchunk, ws, c).transpose(1, 0, 2, 3).reshape(
-            gchunk, n, c)
+            gp, np_, c)
         dqs, dks, dvs = [], [], []
         for hh in range(nh):
             q = x[:, :, hh * hd:(hh + 1) * hd]
@@ -445,7 +499,7 @@ def _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
                 preferred_element_type=jnp.float32)
             s = s * scale + bias_ref[hh][None]
             if mask_ref is not None:
-                s = s + mask_ref[ci * gchunk:(ci + 1) * gchunk]
+                s = s + mask_ref[ci * gp:(ci + 1) * gp]
             p = jax.nn.softmax(s, axis=-1)
             dv = jax.lax.dot_general(
                 p, do, (((1,), (1,)), ((0,), (0,))),
@@ -465,10 +519,22 @@ def _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref, *,
             dks.append(dk.astype(dt))
             dvs.append(dv.astype(dt))
             dbias_ref[hh] = dbias_ref[hh] + jnp.sum(ds, axis=0)
-        dx = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (Gc, N, 3C)
+        dx = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (Gc/m, m*N, 3C)
         dqkv_ref[0, :, ci * wchunk:(ci + 1) * wchunk] = dx.reshape(
             gchunk, ws, ws, c3).transpose(1, 0, 2, 3).reshape(
             ws, wchunk, c3)
+
+
+def _unpack_dbias(dbias_p, m: int, n: int):
+    """(nh, mN, mN) packed cotangent -> (nh, N, N): sum the diagonal blocks
+    (each packed window contributed an identical-bias diagonal block)."""
+    if m == 1:
+        return dbias_p
+    nh = dbias_p.shape[0]
+    out = jnp.zeros((nh, n, n), dbias_p.dtype)
+    for i in range(m):
+        out = out + dbias_p[:, i * n:(i + 1) * n, i * n:(i + 1) * n]
+    return out
 
 
 def _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh, scale, gy):
@@ -478,14 +544,8 @@ def _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh, scale, gy):
     n = ws * ws
     qkv_spec = pl.BlockSpec((1, ws, w, c3), lambda bi, r: (bi, r, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((nh, n, n), lambda bi, r: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
                           memory_space=pltpu.VMEM)
-    dbias_spec = pl.BlockSpec((nh, n, n), lambda bi, r: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
-    out_shape = (jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
-                 jax.ShapeDtypeStruct(bias.shape, jnp.float32))
 
     # Mosaic accounts every live SSA temporary on its VMEM stack, which for
     # this backward is far more than the arithmetic minimum; keep chunks at
@@ -497,28 +557,41 @@ def _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh, scale, gy):
     while gx % n_chunks:
         n_chunks //= 2
 
+    m = min(_pick_pack(n, gx), gx // n_chunks)
+    np_ = m * n
+    bias_p = pack_bias(bias, m)
+    bias_spec = pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dbias_spec = pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = (jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                 jax.ShapeDtypeStruct((nh, np_, np_), jnp.float32))
+
     if mask is None:
         kern = functools.partial(_bwd_strip_kernel, ws=ws, nh=nh,
-                                 scale=scale, n_chunks=n_chunks)
-        return pl.pallas_call(
+                                 scale=scale, n_chunks=n_chunks, pack=m)
+        dqkv, dbias_p = pl.pallas_call(
             kern, grid=grid,
             in_specs=[qkv_spec, bias_spec, g_spec],
             out_specs=(qkv_spec, dbias_spec),
             out_shape=out_shape,
-        )(qkv, bias, gy)
+        )(qkv, bias_p, gy)
+        return dqkv, _unpack_dbias(dbias_p, m, n)
 
     def kern(qkv_ref, bias_ref, g_ref, mask_ref, dqkv_ref, dbias_ref):
         _bwd_strip_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, dbias_ref,
                           ws=ws, nh=nh, scale=scale, n_chunks=n_chunks,
-                          mask_ref=mask_ref)
-    mask_spec = pl.BlockSpec((gx, n, n), lambda bi, r: (r, 0, 0),
+                          pack=m, mask_ref=mask_ref)
+    mask_p = pack_mask(jnp.asarray(mask, jnp.float32), m)
+    mask_spec = pl.BlockSpec((gx // m, np_, np_), lambda bi, r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    dqkv, dbias_p = pl.pallas_call(
         kern, grid=grid,
         in_specs=[qkv_spec, bias_spec, g_spec, mask_spec],
         out_specs=(qkv_spec, dbias_spec),
         out_shape=out_shape,
-    )(qkv, bias, gy, jnp.asarray(mask, jnp.float32))
+    )(qkv, bias_p, gy, mask_p)
+    return dqkv, _unpack_dbias(dbias_p, m, n)
 
 
 def _fwa_nhwc_bwd(ws, nh, scale, res, g):

@@ -160,3 +160,52 @@ def test_nhwc_strip_backward_matches_autodiff():
         np.testing.assert_allclose(np.asarray(got_dbias),
                                    np.asarray(want_dbias),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_nhwc_packed_superwindows_forward():
+    """Window packing (N<128 -> m windows per superwindow with NEG_PACK
+    block-diagonal bias) must be numerically invisible."""
+    from sodt_tpu.pallas.window_attention import (
+        reference_attention_nhwc, _pallas_attention_nhwc, _pick_pack)
+    for nh, c, ws, b, h, w in [(2, 32, 8, 2, 16, 32),   # N=64, gx=4, m=2
+                               (2, 16, 4, 1, 8, 16)]:   # N=16, gx=4, m=4
+        n = ws * ws
+        assert _pick_pack(n, w // ws) > 1
+        qkv = _rand((b, h, w, 3 * c), 51)
+        bias = _rand((nh, n, n), 52)
+        scale = (c // nh) ** -0.5
+        mask = shift_attn_mask(h, w, ws, ws // 2)
+        for m in (None, mask):
+            ref = reference_attention_nhwc(qkv, bias, m, ws, nh, scale)
+            with interpret_mode():
+                out = _pallas_attention_nhwc(qkv, bias, m, ws, nh, scale)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_nhwc_packed_superwindows_backward():
+    from sodt_tpu.pallas.window_attention import (
+        reference_attention_nhwc, _pallas_attention_nhwc_bwd, _pick_pack)
+    nh, c, ws = 2, 16, 4
+    b, h, w = 1, 8, 16   # N=16, gx=4 -> packing engages
+    n = ws * ws
+    assert _pick_pack(n, w // ws) > 1
+    qkv = _rand((b, h, w, 3 * c), 61)
+    bias = _rand((nh, n, n), 62)
+    gy = _rand((b, h, w, c), 63)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(h, w, ws, 2)
+    for m in (None, mask):
+        _, vjp = jax.vjp(
+            lambda q_, b_: reference_attention_nhwc(q_, b_, m, ws, nh,
+                                                    scale), qkv, bias)
+        want_dqkv, want_dbias = vjp(gy)
+        with interpret_mode():
+            got_dqkv, got_dbias = _pallas_attention_nhwc_bwd(
+                qkv, bias, m, ws, nh, scale, gy)
+        np.testing.assert_allclose(np.asarray(got_dqkv),
+                                   np.asarray(want_dqkv),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got_dbias),
+                                   np.asarray(want_dbias),
+                                   rtol=2e-3, atol=2e-3)
