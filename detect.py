@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Inference CLI: run a detector over images / folders / videos.
+"""Inference CLI: run a detector over images / folders / videos / streams.
 
-Covers the reference inference-source surface (LoadImages for files and
-video, /root/reference/basics/utils/datasets.py:150-237) with device-side
-letterbox + jitted forward + on-device NMS, drawing results or emitting
-YOLO-format txts.
+Covers the reference inference-source surface — LoadImages for files and
+video (/root/reference/basics/utils/datasets.py:150-237) plus the threaded
+LoadWebcam/LoadStreams live sources (datasets.py:238-365, via
+sodt_tpu.data.streams) — with device-side letterbox + jitted forward +
+on-device NMS, drawing results or emitting YOLO-format txts.
 """
 
 from __future__ import annotations
@@ -50,10 +51,26 @@ def iter_sources(source: str, want_ir: bool = False):
             cap.release()
 
 
+def iter_stream_frames(source: str, max_frames: int):
+    """Yield (name, rgb, None) from live sources until max_frames."""
+    from sodt_tpu.data.streams import StreamSource
+    n = 0
+    with StreamSource(source) as src:
+        for names, frames in src:
+            for name, frame in zip(names, frames):
+                yield f"{name}#{n}", frame, None
+                n += 1
+                if n >= max_frames:
+                    return
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--source", required=True,
-                    help="image / folder / video path")
+                    help="image / folder / video path, webcam index, "
+                         "rtsp/http URL, or .streams list file")
+    ap.add_argument("--max-frames", type=int, default=1000,
+                    help="stop live streams after N frames")
     ap.add_argument("--cfg", default="configs/model.yaml")
     ap.add_argument("--weights", default="")
     ap.add_argument("--data", default="configs/data_vedai.yaml")
@@ -101,7 +118,11 @@ def main(argv=None):
 
     results = []
     want_ir = "IR" in a.input_mode
-    for name, rgb, ir_img in iter_sources(a.source, want_ir=want_ir):
+    from sodt_tpu.data.streams import is_stream_source
+    frames = (iter_stream_frames(a.source, a.max_frames)
+              if is_stream_source(a.source)
+              else iter_sources(a.source, want_ir=want_ir))
+    for name, rgb, ir_img in frames:
         h0, w0 = rgb.shape[:2]
         img = letterbox_image(jnp.asarray(rgb, jnp.float32), a.img_size,
                               scaleup=True) / 255.0

@@ -67,6 +67,7 @@ class TrainConfig:
     resume: str = ""
     log_every: int = 10
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
+    wandb: bool = False            # W&B lifecycle (scalars + artifacts)
 
 
 def _load_hyp(path: str) -> dict:
@@ -153,6 +154,11 @@ def train(tc: TrainConfig) -> dict:
     start_epoch = 0
     best_fitness = 0.0
     if tc.resume:
+        from ..utils.wandb_utils import (is_wandb_artifact,
+                                         resolve_artifact_checkpoint)
+        if is_wandb_artifact(tc.resume):
+            # --resume wandb-artifact://entity/project/run_id_model
+            tc.resume = resolve_artifact_checkpoint(tc.resume)
         ckpt = load_checkpoint(tc.resume)
         # Full optimizer restore — momentum buffers, MultiSteps counters and
         # the schedule step all resume where they left off, matching the
@@ -185,7 +191,10 @@ def train(tc: TrainConfig) -> dict:
           f"{len(mesh.devices.ravel())} device(s), nb={nb}/epoch, "
           f"accumulate={accumulate}")
 
-    logger = RunLogger(save_dir, config=dataclasses.asdict(tc))
+    logger = RunLogger(save_dir, config=dataclasses.asdict(tc),
+                       use_wandb=tc.wandb)
+    if logger.lifecycle.active:
+        logger.lifecycle.log_dataset(data_cfg)
     lr_w, lr_b, mom_s, _ = lr_schedules(hyp, tc.epochs, nb,
                                         linear_lr=tc.linear_lr,
                                         accumulate=accumulate)
@@ -249,12 +258,18 @@ def train(tc: TrainConfig) -> dict:
                              lrs=(float(lr_w(opt_step)),
                                   float(lr_w(opt_step)),
                                   float(lr_b(opt_step))))
+            extra = ({"wandb_id": logger.wandb_id}
+                     if logger.wandb_id else None)
             save_checkpoint(save_dir / "last", state, epoch=epoch,
-                            best_fitness=best_fitness)
-            if fit > best_fitness:
+                            best_fitness=best_fitness, extra=extra)
+            is_best = fit > best_fitness
+            if is_best:
                 best_fitness = fit
                 save_checkpoint(save_dir / "best", state, epoch=epoch,
-                                best_fitness=best_fitness)
+                                best_fitness=best_fitness, extra=extra)
+            if logger.lifecycle.active:
+                logger.lifecycle.log_model(save_dir / "last", epoch=epoch,
+                                           fitness=fit, best=is_best)
         print(line)
         with open(results_file, "a") as f:
             f.write(line + "\n")

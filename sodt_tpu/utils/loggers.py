@@ -31,6 +31,8 @@ try:
 except Exception:
     _HAS_WANDB = False
 
+from .wandb_utils import WandbLifecycle
+
 # the 13 per-epoch scalar tags the reference logs (Train.py:509-516)
 TAGS = ["train/box_loss", "train/obj_loss", "train/cls_loss",
         "metrics/precision", "metrics/recall", "metrics/mAP_0.5",
@@ -50,7 +52,15 @@ class RunLogger:
         self.wandb_run = None
         if use_wandb and _HAS_WANDB:
             self.wandb_run = _wandb.init(project=project, config=config,
-                                         dir=str(self.save_dir))
+                                         dir=str(self.save_dir),
+                                         resume="allow")
+        # artifact/media lifecycle (resume detection, model/dataset
+        # versioning, bbox panels) — inert when wandb is absent
+        self.lifecycle = WandbLifecycle(self.wandb_run)
+
+    @property
+    def wandb_id(self) -> str | None:
+        return self.wandb_run.id if self.wandb_run is not None else None
 
     def log_scalars(self, scalars: dict[str, float], step: int):
         rec = {"t": time.time(), "step": step, **scalars}

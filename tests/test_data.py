@@ -232,3 +232,38 @@ def test_train_batches_no_mixup_skips_secondary_block():
                              max_labels_per_image=10)
     b2 = next(it2)
     assert b2["targets"].shape == (2, 80, 5)  # concat of both mosaics
+
+
+def test_stream_source_threaded(tmp_path):
+    """LoadStreams-equivalent: threaded latest-frame reader over a video
+    'stream' (datasets.py:238-365 semantics)."""
+    import time
+    cv2 = pytest.importorskip("cv2")
+    from sodt_tpu.data.streams import StreamSource, is_stream_source
+
+    assert is_stream_source("0")
+    assert is_stream_source("rtsp://cam/1")
+    assert is_stream_source("list.streams")
+    assert not is_stream_source("images/img_co.png")
+
+    vid = tmp_path / "s.avi"
+    wr = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 30,
+                         (32, 24))
+    for i in range(30):
+        frame = np.full((24, 32, 3), i * 8 % 255, np.uint8)
+        wr.write(frame)
+    wr.release()
+
+    lst = tmp_path / "cams.streams"
+    lst.write_text(f"{vid}\n")
+    with StreamSource(str(lst), max_fps=120) as src:
+        assert len(src) == 1
+        names, frames = next(src)
+        assert names == [str(vid)]
+        assert frames[0].shape == (24, 32, 3)
+        time.sleep(0.1)
+        _, frames2 = next(src)
+        assert frames2[0].shape == (24, 32, 3)
+    # after close, iteration stops
+    with pytest.raises(StopIteration):
+        next(src)

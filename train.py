@@ -55,6 +55,8 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="evolve hyperparameters for N generations")
+    p.add_argument("--wandb", action="store_true",
+                   help="W&B scalars + artifact lifecycle (needs wandb)")
     a = p.parse_args(argv)
     if a.platform:
         import jax
@@ -70,7 +72,8 @@ def parse_args(argv=None, return_evolve: bool = False):
                        resume=a.resume, down_factor=a.down_factor,
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
-                       multi_scale=a.multi_scale, nbs=a.nbs)
+                       multi_scale=a.multi_scale, nbs=a.nbs,
+                       wandb=a.wandb)
     if return_evolve:
         return tc, a.evolve
     return tc
