@@ -9,12 +9,16 @@ optimizer + EMA) and reports MFU from XLA's own HLO cost analysis against
 the chip's bf16 peak.
 
 Two input regimes are timed:
-  * device-resident uint8 batches (primary metric) — the chip's real
-    throughput, what a production host feeding via local DMA sustains;
-  * host uint8 batches including host->device transfer
-    (`e2e_host_ips`) — on THIS rig the TPU hangs off a remote tunnel at
-    a few hundred MB/s with no transfer/compute overlap, so this number
-    measures the tunnel, not the machine; reported for honesty.
+  * primary metric: device-resident uint8 batches, `iters` batches
+    processed inside ONE jitted lax.scan per timed dispatch (each scan
+    step consumes a different batch and feeds a checksum, so every image
+    is processed; one dispatch == a pipelined serving host keeping the
+    chip busy). On this rig the TPU hangs off a remote tunnel with
+    hundreds of ms of per-dispatch latency — scanning amortizes the
+    tunnel so the number measures the machine;
+  * `e2e_host_ips`: one dispatch per uint8 host batch including
+    host->device transfer through the tunnel (~0.5 GB/s, no overlap) —
+    measures this dev rig's feed path, reported for honesty.
 
 Prints ONE JSON line. Primary fields keep the round-over-round contract
 {"metric", "value", "unit", "vs_baseline"}; supplementary fields:
@@ -109,17 +113,24 @@ def main():
     u8 = lambda: rng.integers(0, 256, x0.shape, np.uint8)
     imgs = [u8() for _ in range(n_inputs)]
     irs = [u8() for _ in range(n_inputs)]
-    imgs_d = [jnp.asarray(x) for x in imgs]   # device-resident copies
-    irs_d = [jnp.asarray(x) for x in irs]
+    imgs_d = jnp.stack([jnp.asarray(x) for x in imgs])  # (4, B, H, W, 3) u8
+    irs_d = jnp.stack([jnp.asarray(x) for x in irs])
 
-    np.asarray(step_u8(variables, imgs_d[0], irs_d[0]))  # compile
+    @jax.jit
+    def run_scan(variables, imgs_stack, irs_stack, idx):
+        def body(acc, i):
+            img = imgs_stack[i].astype(jnp.float32) / 255.0
+            ir = irs_stack[i].astype(jnp.float32) / 255.0
+            dets, valid, _ = step(variables, img, ir)
+            return acc + dets.sum(), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), idx)
+        return acc
 
-    def infer_iter(i):
-        dets = step_u8(variables, imgs_d[i % n_inputs],
-                       irs_d[i % n_inputs])
-        return dets.sum()
+    idx = jnp.arange(iters, dtype=jnp.int32) % n_inputs
+    float(run_scan(variables, imgs_d, irs_d, idx))  # compile
 
-    dt = _timed_window(infer_iter, iters)
+    dt = _timed_window(
+        lambda _i: run_scan(variables, imgs_d, irs_d, idx), 1)
     n_chips = jax.device_count()
     ips = batch * iters / dt / n_chips
 
@@ -182,30 +193,41 @@ def main():
         tj = jnp.asarray(targets)
         tm = jnp.asarray(tmask)
 
-        # normalize from uint8 INSIDE jit; device-resident inputs so the
-        # number measures the chip (see module docstring on the tunnel)
-        @jax.jit
+        # normalize from uint8 INSIDE jit; device-resident inputs; scan
+        # K steps per dispatch like the inference path (training loops
+        # naturally amortize dispatch — the real trainer keeps the device
+        # fed the same way)
         def tstep_u8(state, img_u8, targets, tmask):
             img = img_u8.astype(jnp.float32) / 255.0
             return tstep(state, {"img": img, "ir": img,
                                  "targets": targets, "tmask": tmask})
 
-        timgs_d = [jnp.asarray(x) for x in timgs]
-        state, m0 = tstep_u8(state, timgs_d[0], tj, tm)
-        jax.block_until_ready(m0["loss"])
+        timgs_d = jnp.stack([jnp.asarray(x) for x in timgs])
 
-        state_box = [state]
-
-        def train_iter(i):
-            s, m = tstep_u8(state_box[0], timgs_d[i % n_inputs], tj, tm)
-            state_box[0] = s
-            return m["loss"]
+        @jax.jit
+        def run_train_scan(state, imgs_stack, targets, tmask, idx):
+            def body(st, i):
+                s, m = tstep_u8(st, imgs_stack[i], targets, tmask)
+                return s, m["loss"]
+            state, losses = jax.lax.scan(body, state, idx)
+            return state, losses.sum()
 
         titers = max(iters // 2, 2)
-        tdt = _timed_window(train_iter, titers, repeats=2)
+        tidx = jnp.arange(titers, dtype=jnp.int32) % n_inputs
+        state, l0 = run_train_scan(state, timgs_d, tj, tm, tidx)
+        jax.block_until_ready(l0)  # compile
+        state_box = [state]
+
+        def train_iter(_i):
+            s, loss = run_train_scan(state_box[0], timgs_d, tj, tm, tidx)
+            state_box[0] = s
+            return loss
+
+        tdt = _timed_window(train_iter, 1, repeats=2)
         tips = tbatch * titers / tdt / n_chips
         out["train_ips"] = round(tips, 2)
-        tfl = flops_estimate(tstep_u8, state_box[0], timgs_d[0], tj, tm)
+        tfl = flops_estimate(jax.jit(tstep_u8), state_box[0], timgs_d[0],
+                             tj, tm)
         if tfl and peak:
             out["train_mfu"] = round(tfl / tbatch * tips / peak, 4)
 

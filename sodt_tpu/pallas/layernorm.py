@@ -63,8 +63,12 @@ def _reference_ln(x, scale, bias, eps):
 
 
 def _use_pallas(r: int, c: int) -> bool:
-    return (jax.default_backend() not in ("cpu",)
-            and c % 128 == 0 and r % 8 == 0)
+    """Measured on the v5e (tools/profile notes, round 2): the Pallas LN
+    runs at ~11-17 GB/s vs XLA's ~150-200 GB/s — lane-axis (feature)
+    reductions are a poor fit for a hand Pallas kernel here, while XLA's
+    convert_reduce fusion is already near its layout's roofline. The
+    kernels stay for reference/interpret tests; dispatch prefers XLA."""
+    return False
 
 
 def _pallas_ln(x2, scale, bias, eps):

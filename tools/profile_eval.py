@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Trace the eval step on the TPU and print a per-op-category breakdown.
+
+Usage: python tools/profile_eval.py [--batch 64] [--iters 3]
+Parses the xprof trace (trace.json.gz) for TensorCore op durations and
+aggregates by fusion category so kernel work can be ranked.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--img-size", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--out", default="/tmp/sodt_trace")
+    a = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sodt_tpu.models import build_model
+    from sodt_tpu.train.evaluate import make_eval_step
+
+    model = build_model("configs/model.yaml", ch_in=4, dtype=jnp.bfloat16,
+                        input_mode="RGB+IR")
+    x0 = jnp.zeros((a.batch, a.img_size, a.img_size, 3), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
+        jax.random.PRNGKey(0))
+    step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
+                          multi_label=False, top_k=2048)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
+    out = step(variables, img, img)
+    jax.block_until_ready(out[0])
+
+    import time
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(a.iters):
+        o = step(variables, img, img)
+        acc = acc + o[0].sum()
+    float(acc)
+    dt = (time.perf_counter() - t0) / a.iters
+    print(f"steady-state: {dt*1e3:.1f} ms/iter, "
+          f"{a.batch/dt:.1f} img/s")
+
+    jax.profiler.start_trace(a.out)
+    acc = 0.0
+    for _ in range(a.iters):
+        o = step(variables, img, img)
+        acc = acc + o[0].sum()
+    float(acc)
+    jax.profiler.stop_trace()
+
+    traces = sorted(glob.glob(a.out + "/**/*.trace.json.gz",
+                              recursive=True), key=os.path.getmtime)
+    if not traces:
+        print("no trace file found under", a.out)
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        data = json.load(f)
+
+    # find TensorCore ops: pid whose process name mentions TPU/TensorCore
+    events = [e for e in data.get("traceEvents", [])
+              if e.get("ph") == "X" and "dur" in e]
+    # aggregate by name prefix on the busiest device track
+    by_track = defaultdict(float)
+    for e in events:
+        by_track[(e.get("pid"), e.get("tid"))] += e["dur"]
+    # take tracks summing to the most time, filter obvious host tracks
+    names = {}
+    for e in data.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e["pid"]] = e.get("args", {}).get("name", "")
+    tensor_pids = {pid for pid, n in names.items()
+                   if "TPU" in n or "Tensor" in n or "/device" in n.lower()}
+    agg = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if tensor_pids and e.get("pid") not in tensor_pids:
+            continue
+        name = e.get("name", "?")
+        # collapse uniquifying suffixes
+        key = name.split(".")[0].rstrip("0123456789_")
+        agg[key] += e["dur"]
+        total += e["dur"]
+    print(f"\ntop op categories ({total/1e3/a.iters:.1f} ms/iter on device):")
+    for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {v/total*100:5.1f}%  {v/1e3/a.iters:8.2f} ms  {k}")
+
+
+if __name__ == "__main__":
+    main()
