@@ -93,8 +93,7 @@ class ImageEncoderViT(nn.Module):
             if pos.shape[1] == h:
                 x = x + pos.astype(x.dtype)
 
-        x = x.reshape(bsz, h * w, c)
-
+        # stages run NHWC-native end to end (no token-layout round trips)
         Blk = nn.remat(SwinBlock) if self.remat else SwinBlock
 
         # stage 1 @ (h, w), taps at blocks 4 and 5
@@ -108,7 +107,7 @@ class ImageEncoderViT(nn.Module):
                           linear_mlp=shifts[i] == 0, dtype=self.dtype,
                           name=f"stage1_{i}")(x)
             if i in (4, 5):
-                taps.append(x.reshape(bsz, h, w, c))
+                taps.append(x)
         p3 = jnp.concatenate(taps, axis=-1)  # (B, h, w, 2*embed_dim)
 
         x = PatchMerging(self.embed_dim, dtype=self.dtype,
@@ -123,7 +122,7 @@ class ImageEncoderViT(nn.Module):
                           qkv_bias=self.qkv_bias,
                           linear_mlp=shifts[i] == 0, dtype=self.dtype,
                           name=f"stage2_{i}")(x)
-        p4 = x.reshape(bsz, h2, w2, c2)
+        p4 = x
 
         x = PatchMerging(c2, dtype=self.dtype, name="pmerging2")(x, (h2, w2))
 
@@ -133,7 +132,7 @@ class ImageEncoderViT(nn.Module):
                       num_heads=self.num_heads, window_size=32, shift_size=0,
                       mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                       linear_mlp=True, dtype=self.dtype, name="stage3_0")(x)
-        p5 = x.reshape(bsz, h3, w3, c3)
+        p5 = x
 
         # 1x1 necks (backbone_vit.py:167-187,265-270)
         p3 = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,

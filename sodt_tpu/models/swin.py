@@ -162,13 +162,16 @@ class Mlp(nn.Module):
             x = jax.nn.gelu(x, approximate=False)
             return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         h, w = hw
+        tokens_in = x.ndim == 3  # (B, L, C) compat; fast path is NHWC
         b = x.shape[0]
         x = nn.Dense(c_in, dtype=self.dtype, name="fc1")(x)
-        x = x.reshape(b, h, w, c_in)
+        if tokens_in:
+            x = x.reshape(b, h, w, c_in)
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         x = nn.Conv(c_in, (2, 2), padding="VALID", use_bias=True,
                     dtype=self.dtype, name="conv1")(x)
-        x = x.reshape(b, h * w, c_in)
+        if tokens_in:
+            x = x.reshape(b, h * w, c_in)
         x = jax.nn.gelu(x, approximate=False)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
@@ -194,12 +197,19 @@ class SwinBlock(nn.Module):
             ws, shift = min(h, w), 0
         assert 0 <= shift < ws
 
-        b, l, c = x.shape
-        assert l == h * w, (l, h, w)
+        # NHWC-native fast path: carrying (B, H, W, C) through the whole
+        # block keeps every dot/conv/LN in one feature-minor layout (mixing
+        # (B, L, C) dots with NHWC convs made XLA pick token-minor GEMM
+        # layouts + relayout copies, measured at ~125 GB/s effective).
+        tokens_in = x.ndim == 3
+        if tokens_in:
+            b, l, c = x.shape
+            assert l == h * w, (l, h, w)
+            x = x.reshape(b, h, w, c)
+        b, _, _, c = x.shape
 
         shortcut = x
         x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
-        x = x.reshape(b, h, w, c)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
@@ -211,11 +221,11 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
 
         # residual add + norm2 fused into one HBM pass
-        x, y = FusedAddLayerNorm(dtype=self.dtype, name="norm2")(
-            shortcut, x.reshape(b, l, c))
+        x, y = FusedAddLayerNorm(dtype=self.dtype, name="norm2")(shortcut, x)
         y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
                 linear=self.linear_mlp, dtype=self.dtype, name="mlp")(y, (h, w))
-        return x + y
+        out = x + y
+        return out.reshape(b, h * w, c) if tokens_in else out
 
 
 class PatchMerging(nn.Module):
@@ -227,16 +237,20 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, hw: tuple[int, int]):
         h, w = hw
-        b, l, c = x.shape
-        assert l == h * w and h % 2 == 0 and w % 2 == 0
-        x = x.reshape(b, h, w, c)
+        tokens_in = x.ndim == 3  # (B, L, C) compat; fast path is NHWC
+        b, c = x.shape[0], x.shape[-1]
+        assert h % 2 == 0 and w % 2 == 0
+        if tokens_in:
+            assert x.shape[1] == h * w
+            x = x.reshape(b, h, w, c)
         x = jnp.concatenate(
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
-        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
         x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
-        return FusedLayerNorm(dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
+        return x.reshape(b, (h // 2) * (w // 2), 2 * self.dim) \
+            if tokens_in else x
 
 
 class PatchEmbed(nn.Module):

@@ -86,17 +86,24 @@ def main():
     tensor_pids = {pid for pid, n in names.items()
                    if "TPU" in n or "Tensor" in n or "/device" in n.lower()}
     agg = defaultdict(float)
+    indiv = defaultdict(float)
     total = 0.0
     for e in events:
         if tensor_pids and e.get("pid") not in tensor_pids:
             continue
         name = e.get("name", "?")
+        if name.startswith("jit_") or name.startswith("main"):
+            continue  # parent module event double-counts its children
         # collapse uniquifying suffixes
         key = name.split(".")[0].rstrip("0123456789_")
         agg[key] += e["dur"]
+        indiv[name] += e["dur"]
         total += e["dur"]
     print(f"\ntop op categories ({total/1e3/a.iters:.1f} ms/iter on device):")
     for k, v in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {v/total*100:5.1f}%  {v/1e3/a.iters:8.2f} ms  {k}")
+    print("\ntop individual ops:")
+    for k, v in sorted(indiv.items(), key=lambda kv: -kv[1])[:40]:
         print(f"  {v/total*100:5.1f}%  {v/1e3/a.iters:8.2f} ms  {k}")
 
 
