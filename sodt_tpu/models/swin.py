@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .norm import FusedLayerNorm, FusedAddLayerNorm
+from ..ops.activations import gelu
 
 DType = Any
 
@@ -159,7 +160,7 @@ class Mlp(nn.Module):
         c_in = x.shape[-1]
         if self.linear:
             x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
-            x = jax.nn.gelu(x, approximate=False)
+            x = gelu(x)
             return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         h, w = hw
         tokens_in = x.ndim == 3  # (B, L, C) compat; fast path is NHWC
@@ -172,7 +173,7 @@ class Mlp(nn.Module):
                     dtype=self.dtype, name="conv1")(x)
         if tokens_in:
             x = x.reshape(b, h * w, c_in)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 

@@ -30,6 +30,7 @@ from flax import linen as nn
 from .swin import (window_partition, window_unpartition, shift_attn_mask,
                    relative_position_index, PatchMerging, PatchEmbed)
 from .cattention import CAttention
+from ..ops.activations import gelu
 
 DType = Any
 
@@ -153,7 +154,7 @@ class SwinBlockV2(nn.Module):
 
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(x)
-        y = jax.nn.gelu(y, approximate=False)
+        y = gelu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         y = FusedLayerNorm(dtype=self.dtype,
                            scale_init=nn.initializers.zeros, name="norm2")(y)

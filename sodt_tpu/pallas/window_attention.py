@@ -63,13 +63,13 @@ def _kernel(qkv_ref, bias_ref, out_ref, *, nh: int, scale: float,
     c = c3 // 3
     hd = c // nh
     for h in range(nh):
-        q = qkv[:, :, h * hd:(h + 1) * hd]
+        q = qkv[:, :, h * hd:(h + 1) * hd] * jnp.asarray(scale, qkv.dtype)
         k = qkv[:, :, c + h * hd:c + (h + 1) * hd]
         v = qkv[:, :, 2 * c + h * hd:2 * c + (h + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)   # (G, N, N)
-        s = s * scale + bias_ref[h][None]
+        s = s + bias_ref[h][None]
         if masked:
             s = s + mask_ref[...]
         p = jax.nn.softmax(s, axis=-1)
@@ -385,13 +385,15 @@ def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
         gp, np_, c3)
     heads = []
     for hh in range(nh):
-        q = x[:, :, hh * hd:(hh + 1) * hd]
+        # scale folded onto q: one multiply over (G, N, hd) instead of a
+        # full VPU pass over the (G, N, N) scores
+        q = x[:, :, hh * hd:(hh + 1) * hd] * jnp.asarray(scale, x.dtype)
         k = x[:, :, c + hh * hd:c + (hh + 1) * hd]
         v = x[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        s = s * scale + bias_ref[hh][None]
+        s = s + bias_ref[hh][None]
         if mask_ref is not None:
             s = s + mask_ref[...]
         p = jax.nn.softmax(s, axis=-1)
@@ -613,10 +615,210 @@ fused_window_attention_nhwc.defvjp(_fwa_nhwc_fwd, _fwa_nhwc_bwd)
 def window_attention_core_nhwc(qkv, bias, mask, ws: int, nh: int,
                                scale: float, *,
                                use_pallas: bool | None = None):
-    """NHWC dispatch: strips kernel on TPU, XLA reference elsewhere."""
-    if use_pallas is None:
-        use_pallas = (jax.default_backend() not in ("cpu",)
-                      and ws * ws <= 256)
+    """NHWC dispatch: strips kernel on TPU, XLA reference elsewhere.
+
+    Single-window "global" blocks (flagship stage-3: ws=32 covers the whole
+    32x32 map, N=1024 tokens) route to the flash-style global kernel — the
+    XLA path materializes the f32 (B, nh, N, N) scores (3.2 GB at batch 64)
+    in HBM plus head-split transposes of the 300 MB qkv tensor."""
+    on_tpu = jax.default_backend() not in ("cpu",)
+    auto = use_pallas is None
+    if auto:
+        use_pallas = on_tpu and ws * ws <= 256
     if use_pallas:
         return fused_window_attention_nhwc(qkv, bias, mask, ws, nh, scale)
+    if (auto and on_tpu and mask is None
+            and qkv.shape[1] == ws and qkv.shape[2] == ws):
+        return fused_global_attention(qkv, bias, nh, scale)
     return reference_attention_nhwc(qkv, bias, mask, ws, nh, scale)
+
+
+# ------------------------------------------------- global (single-window)
+#
+# Stage-3 attention is one global window: N = H*W = 1024 tokens, hd = 64.
+# The (nh, N, N) bias alone is 50 MB f32, so unlike the windowed kernels it
+# cannot live in VMEM whole; the grid is (head, batch) with batch innermost,
+# so each head's (N, N) bias block is fetched once and then revisited for
+# every batch element. Scores never touch HBM: q rows are processed in
+# chunks so the live f32 set stays a few MB.
+
+def _global_kernel(qkv_ref, bias_ref, out_ref, *, scale: float,
+                   row_chunk: int):
+    x = qkv_ref[0]                            # (3, 1, N, hd)
+    n = x.shape[2]
+    q = x[0, 0] * jnp.asarray(scale, x.dtype)
+    k = x[1, 0]
+    v = x[2, 0]
+    for r0 in range(0, n, row_chunk):
+        s = jax.lax.dot_general(
+            q[r0:r0 + row_chunk], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (rc, N)
+        s = s + bias_ref[0, r0:r0 + row_chunk]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # (rc, hd)
+        out_ref[0, 0, r0:r0 + row_chunk] = o.astype(out_ref.dtype)
+
+
+def _split_heads_qkv(qkv, nh: int):
+    """(B, H, W, 3C) -> (B, 3, nh, N, hd): the fused Dense layout
+    [q | k | v], each [head0 | head1 | ...], is a reshape + transpose."""
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    return qkv.reshape(b, h * w, 3, nh, hd).transpose(0, 2, 3, 1, 4)
+
+
+def _pallas_global_attention(qkv, bias, nh: int, scale: float):
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    n = h * w
+    x = _split_heads_qkv(qkv, nh)
+
+    grid = (nh, b)  # batch innermost: bias block reused across b
+    x_spec = pl.BlockSpec((1, 3, 1, n, hd), lambda hh, bi: (bi, 0, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, n, n), lambda hh, bi: (hh, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, n, hd), lambda hh, bi: (bi, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_global_kernel, scale=scale, row_chunk=256),
+        grid=grid,
+        in_specs=[x_spec, bias_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nh, n, hd), qkv.dtype),
+    )(x, bias)
+    return out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+
+
+def _global_chunk_grads(qkv_ref, bias_chunk, g_ref, r0, rc, scale):
+    """Shared recompute for one q-row chunk: returns (p, ds, qc, k, v)."""
+    k = qkv_ref[0, 1, 0]
+    v = qkv_ref[0, 2, 0]
+    qc = qkv_ref[0, 0, 0, pl.ds(r0, rc)]
+    doc = g_ref[0, 0, pl.ds(r0, rc)].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        qc, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * scale + bias_chunk
+    p = jax.nn.softmax(s, axis=-1)                 # (rc, N)
+    dp = jax.lax.dot_general(
+        doc, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (rc, N)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    return p, ds, doc, qc, k, v
+
+
+def _global_bwd_dqkv_kernel(qkv_ref, bias_ref, g_ref, dqkv_ref, *,
+                            scale: float):
+    """Grid (head, batch, chunk), chunk innermost: dq written per chunk,
+    dk/dv accumulated read-modify-write across the consecutive chunk
+    programs that share the (batch, head) dqkv block."""
+    ci = pl.program_id(2)
+    rc = bias_ref.shape[1]
+    r0 = ci * rc
+
+    @pl.when(ci == 0)
+    def _():
+        dqkv_ref[0, 1, 0] = jnp.zeros_like(dqkv_ref[0, 1, 0])
+        dqkv_ref[0, 2, 0] = jnp.zeros_like(dqkv_ref[0, 2, 0])
+
+    p, ds, doc, qc, k, v = _global_chunk_grads(qkv_ref, bias_ref[0], g_ref,
+                                               r0, rc, scale)
+    dq = scale * jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = scale * jax.lax.dot_general(
+        ds, qc.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(
+        p, doc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqkv_ref[0, 0, 0, pl.ds(r0, rc)] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[0, 1, 0] = dqkv_ref[0, 1, 0] + dk.astype(dqkv_ref.dtype)
+    dqkv_ref[0, 2, 0] = dqkv_ref[0, 2, 0] + dv.astype(dqkv_ref.dtype)
+
+
+def _global_bwd_dbias_kernel(qkv_ref, bias_ref, g_ref, dbias_ref, *,
+                             scale: float):
+    """Grid (head, chunk, batch), batch innermost: dbias accumulated
+    read-modify-write across the consecutive batch programs that share the
+    (head, chunk) dbias block. Recomputes ds (2 matmuls + softmax) — the
+    price of keeping both accumulations on consecutive grid visits."""
+    rc = bias_ref.shape[1]
+    r0 = pl.program_id(1) * rc
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    _, ds, _, _, _, _ = _global_chunk_grads(qkv_ref, bias_ref[0], g_ref,
+                                            r0, rc, scale)
+    dbias_ref[0] = dbias_ref[0] + ds
+
+
+def _pallas_global_attention_bwd(qkv, bias, nh, scale, gy):
+    b, h, w, c3 = qkv.shape
+    c = c3 // 3
+    hd = c // nh
+    n = h * w
+    x = _split_heads_qkv(qkv, nh)
+    g = gy.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)   # (B, nh, N, hd)
+
+    rc = 256
+    x_spec3 = lambda ix: pl.BlockSpec((1, 3, 1, n, hd), ix,
+                                      memory_space=pltpu.VMEM)
+    g_spec3 = lambda ix: pl.BlockSpec((1, 1, n, hd), ix,
+                                      memory_space=pltpu.VMEM)
+    bias_spec3 = lambda ix: pl.BlockSpec((1, rc, n), ix,
+                                         memory_space=pltpu.VMEM)
+
+    dqkv = pl.pallas_call(
+        functools.partial(_global_bwd_dqkv_kernel, scale=scale),
+        grid=(nh, b, n // rc),
+        in_specs=[x_spec3(lambda hh, bi, ci: (bi, 0, hh, 0, 0)),
+                  bias_spec3(lambda hh, bi, ci: (hh, ci, 0)),
+                  g_spec3(lambda hh, bi, ci: (bi, hh, 0, 0))],
+        out_specs=x_spec3(lambda hh, bi, ci: (bi, 0, hh, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 3, nh, n, hd), qkv.dtype),
+    )(x, bias, g)
+
+    dbias = pl.pallas_call(
+        functools.partial(_global_bwd_dbias_kernel, scale=scale),
+        grid=(nh, n // rc, b),
+        in_specs=[x_spec3(lambda hh, ci, bi: (bi, 0, hh, 0, 0)),
+                  bias_spec3(lambda hh, ci, bi: (hh, ci, 0)),
+                  g_spec3(lambda hh, ci, bi: (bi, hh, 0, 0))],
+        out_specs=bias_spec3(lambda hh, ci, bi: (hh, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+    )(x, bias, g)
+
+    dqkv = dqkv.transpose(0, 3, 1, 2, 4).reshape(qkv.shape)
+    return dqkv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_global_attention(qkv, bias, nh: int, scale: float):
+    """Flash-style global attention: qkv (B, H, W, 3C), bias (nh, N, N)."""
+    return _pallas_global_attention(qkv, bias, nh, scale)
+
+
+def _fga_fwd(qkv, bias, nh, scale):
+    return _pallas_global_attention(qkv, bias, nh, scale), (qkv, bias)
+
+
+def _fga_bwd(nh, scale, res, g):
+    qkv, bias = res
+    if jax.default_backend() not in ("cpu",):
+        return _pallas_global_attention_bwd(qkv, bias, nh, scale, g)
+    ws = qkv.shape[1]
+    _, vjp = jax.vjp(
+        lambda q_, b_: reference_attention_nhwc(q_, b_, None, ws, nh, scale),
+        qkv, bias)
+    return vjp(g)
+
+
+fused_global_attention.defvjp(_fga_fwd, _fga_bwd)
