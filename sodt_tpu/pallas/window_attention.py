@@ -371,18 +371,24 @@ def pack_mask(mask, m: int):
 
 
 def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
-                  scale: float, pack: int = 1, mask_ref=None):
-    strip = qkv_ref[0]                       # (ws, W, 3C)
-    _, wdim, c3 = strip.shape
+                  scale: float, pack: int = 1, mask_ref=None,
+                  softmax_max: bool = True):
+    strip = qkv_ref[0]                       # (R*ws, W, 3C)
+    rows, wdim, c3 = strip.shape
+    rv = rows // ws
     g = wdim // ws
     n = ws * ws
     c = c3 // 3
     hd = c // nh
-    gp, np_ = g // pack, pack * n
-    # (ws, W, 3C) -> (G windows, N tokens, 3C) -> packed (G/m, m*N, 3C):
+    gp, np_ = rv * g // pack, pack * n
+    # (R*ws, W, 3C) -> (G windows, N tokens, 3C) -> packed (G/m, m*N, 3C):
     # VMEM-local reorganize; consecutive windows share a superwindow
-    x = strip.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
-        gp, np_, c3)
+    if rv == 1:
+        x = strip.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
+            gp, np_, c3)
+    else:
+        x = strip.reshape(rv, ws, g, ws, c3).transpose(
+            0, 2, 1, 3, 4).reshape(gp, np_, c3)
     heads = []
     for hh in range(nh):
         # scale folded onto q: one multiply over (G, N, hd) instead of a
@@ -396,39 +402,50 @@ def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
         s = s + bias_ref[hh][None]
         if mask_ref is not None:
             s = s + mask_ref[...]
-        p = jax.nn.softmax(s, axis=-1)
+        if softmax_max:
+            p = jax.nn.softmax(s, axis=-1)
+        else:
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         heads.append(o.astype(out_ref.dtype))
     out = jnp.concatenate(heads, axis=-1)            # (G/m, m*N, C)
-    out_ref[0] = out.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
-        ws, wdim, c)
+    if rv == 1:
+        out_ref[0] = out.reshape(g, ws, ws, c).transpose(
+            1, 0, 2, 3).reshape(ws, wdim, c)
+    else:
+        out_ref[0] = out.reshape(rv, g, ws, ws, c).transpose(
+            0, 2, 1, 3, 4).reshape(rows, wdim, c)
 
 
-def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
+def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float,
+                           *, pack: int | None = None, rv: int = 1,
+                           softmax_max: bool = True):
     b, h, w, c3 = qkv.shape
     c = c3 // 3
-    grid = (b, h // ws)
+    rows = rv * ws
+    grid = (b, h // rows)
     n = ws * ws
     gx = w // ws
-    m = _pick_pack(n, gx)
+    m = _pick_pack(n, gx) if pack is None else pack
     np_ = m * n
     bias_p = pack_bias(bias, m)
 
-    qkv_spec = pl.BlockSpec((1, ws, w, c3), lambda bi, r: (bi, r, 0, 0),
+    qkv_spec = pl.BlockSpec((1, rows, w, c3), lambda bi, r: (bi, r, 0, 0),
                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((nh, np_, np_),
                              lambda bi, r: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+    out_spec = pl.BlockSpec((1, rows, w, c), lambda bi, r: (bi, r, 0, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, h, w, c), qkv.dtype)
 
     if mask is None:
         return pl.pallas_call(
             functools.partial(_strip_kernel, ws=ws, nh=nh, scale=scale,
-                              pack=m),
+                              pack=m, softmax_max=softmax_max),
             grid=grid,
             in_specs=[qkv_spec, bias_spec],
             out_specs=out_spec,
@@ -437,11 +454,11 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float):
 
     def kern(qkv_ref, bias_ref, mask_ref, out_ref):
         _strip_kernel(qkv_ref, bias_ref, out_ref, ws=ws, nh=nh, scale=scale,
-                      pack=m, mask_ref=mask_ref)
+                      pack=m, mask_ref=mask_ref, softmax_max=softmax_max)
 
-    # mask windows are row-major, so row r owns mask rows [r*gx/m, ...)
+    # mask windows are row-major, so row r owns mask rows [r*rv*gx/m, ...)
     mask_p = pack_mask(jnp.asarray(mask, jnp.float32), m)
-    mask_spec = pl.BlockSpec((gx // m, np_, np_),
+    mask_spec = pl.BlockSpec((rv * gx // m, np_, np_),
                              lambda bi, r: (r, 0, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -37,10 +37,37 @@ def main():
     x0 = jnp.zeros((a.batch, a.img_size, a.img_size, 3), jnp.float32)
     variables = jax.jit(lambda k: model.init(k, x0, x0, train=False))(
         jax.random.PRNGKey(0))
-    step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
-                          multi_label=False, top_k=2048)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(size=x0.shape).astype(np.float32))
+
+    if a.train:
+        import optax
+        from sodt_tpu.train.state import TrainState, make_train_step
+        from sodt_tpu.train.loss import LossConfig
+        tx = optax.sgd(0.01, momentum=0.937, nesterov=True)
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        loss_cfg = LossConfig(
+            nc=8, anchors=model.spec.anchors,
+            strides=model.spec.detect_strides,
+            hyp_box=0.05, hyp_obj=1.0, hyp_cls=0.5)
+        tstep = jax.jit(make_train_step(model, tx, loss_cfg))
+        targets = jnp.zeros((a.batch, 60, 5), jnp.float32)
+        targets = targets.at[:, :3].set(
+            jnp.asarray([0, 0.5, 0.5, 0.1, 0.1], jnp.float32))
+        tmask = jnp.zeros((a.batch, 60), bool).at[:, :3].set(True)
+        batch = {"img": img, "ir": img, "targets": targets, "tmask": tmask}
+
+        def step(v, x, x2):
+            ns, metrics = tstep(state, batch)
+            return (metrics["loss"][None], ns.step)
+    else:
+        estep = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
+                               multi_label=False, top_k=2048)
+
+        def step(v, x, x2):
+            return estep(v, x, x2)
+
     out = step(variables, img, img)
     jax.block_until_ready(out[0])
 
@@ -71,25 +98,23 @@ def main():
     with gzip.open(traces[-1], "rt") as f:
         data = json.load(f)
 
-    # find TensorCore ops: pid whose process name mentions TPU/TensorCore
     events = [e for e in data.get("traceEvents", [])
               if e.get("ph") == "X" and "dur" in e]
-    # aggregate by name prefix on the busiest device track
-    by_track = defaultdict(float)
-    for e in events:
-        by_track[(e.get("pid"), e.get("tid"))] += e["dur"]
-    # take tracks summing to the most time, filter obvious host tracks
-    names = {}
+    # aggregate ONLY the device "XLA Ops" thread — the "Steps" and
+    # "XLA Modules" threads are whole-step parent spans that double-count
+    names, tnames = {}, {}
     for e in data.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":
             names[e["pid"]] = e.get("args", {}).get("name", "")
-    tensor_pids = {pid for pid, n in names.items()
-                   if "TPU" in n or "Tensor" in n or "/device" in n.lower()}
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tnames[(e["pid"], e["tid"])] = e.get("args", {}).get("name", "")
+    op_tracks = {k for k, n in tnames.items()
+                 if n == "XLA Ops" and "TPU" in names.get(k[0], "")}
     agg = defaultdict(float)
     indiv = defaultdict(float)
     total = 0.0
     for e in events:
-        if tensor_pids and e.get("pid") not in tensor_pids:
+        if op_tracks and (e.get("pid"), e.get("tid")) not in op_tracks:
             continue
         name = e.get("name", "?")
         if name.startswith("jit_") or name.startswith("main"):
