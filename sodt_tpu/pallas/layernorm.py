@@ -43,8 +43,29 @@ def _ln_rows(x, mu_keep=False, eps=1e-5):
     return (x32 - mu) * rstd
 
 
+def _ln_rows_mxu(x, eps=1e-5):
+    """LN stats via the MXU: the lane-axis (feature) reduction is the slow
+    path on the VPU (measured 11-17 GB/s round 2); a dot with a ones
+    matrix turns sum(x) and sum(x^2) into one (br, C) @ (C, 128) matmul
+    each, which the MXU does at full tile rate. All 128 output columns
+    hold the same sum; column 0 broadcasts back over the lanes."""
+    c = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    ones = jnp.ones((c, 128), jnp.float32)
+    stacked = jnp.concatenate([x32, x32 * x32], axis=0)       # (2br, C)
+    sums = jax.lax.dot_general(
+        stacked, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (2br, 128)
+    br = x.shape[0]
+    mu = sums[:br, :1] * (1.0 / c)
+    ex2 = sums[br:, :1] * (1.0 / c)
+    var = ex2 - mu * mu
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x32 - mu) * rstd
+
+
 def _ln_kernel(x_ref, s_ref, b_ref, out_ref, *, eps: float):
-    y = _ln_rows(x_ref[...], eps=eps)
+    y = _ln_rows_mxu(x_ref[...], eps=eps)
     out_ref[...] = (y * s_ref[...] + b_ref[...]).astype(out_ref.dtype)
 
 
@@ -52,7 +73,7 @@ def _add_ln_kernel(a_ref, b_ref, s_ref, bias_ref, sum_ref, out_ref, *,
                    eps: float):
     s = a_ref[...] + b_ref[...]
     sum_ref[...] = s.astype(sum_ref.dtype)
-    y = _ln_rows(s, eps=eps)
+    y = _ln_rows_mxu(s, eps=eps)
     out_ref[...] = (y * s_ref[...] + bias_ref[...]).astype(out_ref.dtype)
 
 
@@ -63,11 +84,12 @@ def _reference_ln(x, scale, bias, eps):
 
 
 def _use_pallas(r: int, c: int) -> bool:
-    """Measured on the v5e (tools/profile notes, round 2): the Pallas LN
-    runs at ~11-17 GB/s vs XLA's ~150-200 GB/s — lane-axis (feature)
-    reductions are a poor fit for a hand Pallas kernel here, while XLA's
-    convert_reduce fusion is already near its layout's roofline. The
-    kernels stay for reference/interpret tests; dispatch prefers XLA."""
+    """Measured on the v5e (round 2): with VPU lane-axis reductions the
+    Pallas LN ran at 11-17 GB/s; the MXU-stats rewrite (_ln_rows_mxu)
+    brings it to ~209 GB/s — but XLA's convert_reduce fusion measures the
+    same (~235 GB/s) on identical shapes, so there is no end-to-end win
+    and dispatch prefers XLA. The kernels stay for reference/interpret
+    tests and as the base for future block-level fusions."""
     return False
 
 
