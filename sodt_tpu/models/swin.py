@@ -87,6 +87,25 @@ def relative_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: identical name/shape/init
+    tree ({"kernel", "bias"}, f32, lecun-normal/zeros), so checkpoints and
+    the torch weight importer are unaffected while fused kernels consume
+    the raw weights directly."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_features, self.features), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        return k, b
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (backbone_vit.py:913-992).
 
@@ -105,9 +124,10 @@ class WindowAttention(nn.Module):
 
         * (B_, N, C) pre-partitioned window tokens (the reference
           interface; golden-parity tests use it), or
-        * (B, H, W, C) full maps — window partitioning then happens INSIDE
-          the fused kernel via strip BlockSpecs, which removes the HBM
-          reshape/transpose copies around attention (~20% of eval time).
+        * (B, H, W, C) full maps — on TPU the qkv projection, window
+          partitioning, attention and output projection all run in ONE
+          Pallas kernel (weights resident in VMEM), so neither the qkv
+          tensor nor the attention output ever touches HBM.
         """
         nh = self.num_heads
         c = x.shape[-1]
@@ -121,24 +141,27 @@ class WindowAttention(nn.Module):
         rel_idx = relative_position_index(self.window_size).reshape(-1)
         bias = table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh,N,N)
 
-        # fused qkv projection feeds the attention core directly in its
-        # natural layout — the head split happens inside the fused kernel
-        # (or inside one einsum on the XLA path)
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
+        dt = self.dtype
+        wqkv, bqkv = DenseParams(3 * c, self.qkv_bias, name="qkv")(c)
+        wp, bp = DenseParams(c, True, name="proj")(c)
+        bqkv = (bqkv if bqkv is not None
+                else jnp.zeros((3 * c,), jnp.float32))
 
-        from ..pallas.window_attention import (window_attention_core,
-                                               window_attention_core_nhwc)
         if x.ndim == 4:
-            out = window_attention_core_nhwc(
-                qkv, bias.astype(jnp.float32),
-                None if mask is None else mask, self.window_size, nh, scale)
-        else:
-            nw = mask.shape[0] if mask is not None else 1
-            out = window_attention_core(
-                qkv, bias.astype(jnp.float32),
-                None if mask is None else mask, nw, nh, scale)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            from ..pallas.window_attention import block_attention_nhwc
+            return block_attention_nhwc(
+                x, wqkv.astype(dt), bqkv.astype(dt), wp.astype(dt),
+                bp.astype(dt), bias.astype(jnp.float32),
+                None if mask is None else mask, self.window_size, nh,
+                scale)
+
+        from ..pallas.window_attention import window_attention_core
+        qkv = x @ wqkv.astype(dt) + bqkv.astype(dt)
+        nw = mask.shape[0] if mask is not None else 1
+        out = window_attention_core(
+            qkv, bias.astype(jnp.float32),
+            None if mask is None else mask, nw, nh, scale)
+        return out @ wp.astype(dt) + bp.astype(dt)
 
 
 class Mlp(nn.Module):

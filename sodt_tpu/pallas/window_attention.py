@@ -469,6 +469,154 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float,
     )(qkv, bias_p, mask_p)
 
 
+# --------------------------------------------- fused qkv+attention+proj
+#
+# One kernel per row-strip: qkv GEMM (weights resident in VMEM) -> window
+# attention -> output projection. The (B, H, W, 3C) qkv tensor and the
+# attention output never touch HBM (for flagship stage-1 that is ~2.4 GB
+# of HBM traffic per block per batch-64 step), and the Pallas boundary
+# relayout copies XLA inserts around a separate qkv Dense disappear.
+# Token order is irrelevant to a GEMM, so the matmuls run on the raw
+# strip rows and only the attention core sees the window reorganize.
+
+def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                       out_ref, *, ws: int, nh: int, scale: float,
+                       pack: int, mask_ref=None):
+    strip = x_ref[0]                         # (ws, W, C)
+    rows, wdim, c = strip.shape
+    flat = strip.reshape(rows * wdim, c)
+    qkv = jax.lax.dot_general(
+        flat, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...]).astype(strip.dtype)   # (rows*W, 3C)
+
+    g = wdim // ws
+    n = ws * ws
+    c3 = 3 * c
+    hd = c // nh
+    gp, np_ = g // pack, pack * n
+    x = qkv.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
+        gp, np_, c3)
+    heads = []
+    for hh in range(nh):
+        q = x[:, :, hh * hd:(hh + 1) * hd] * jnp.asarray(scale, x.dtype)
+        k = x[:, :, c + hh * hd:c + (hh + 1) * hd]
+        v = x[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[hh][None]
+        if mask_ref is not None:
+            s = s + mask_ref[...]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads.append(o.astype(strip.dtype))
+    attn = jnp.concatenate(heads, axis=-1)            # (G/m, m*N, C)
+    attn = attn.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
+        rows * wdim, c)
+    y = jax.lax.dot_general(
+        attn, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + bp_ref[...]
+    out_ref[0] = y.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
+                            nh: int, scale: float):
+    b, h, w, c = x.shape
+    grid = (b, h // ws)
+    n = ws * ws
+    gx = w // ws
+    m = _pick_pack(n, gx)
+    np_ = m * n
+    bias_p = pack_bias(bias, m)
+
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    args = [x, wqkv, bqkv.reshape(1, -1), wp, bp.reshape(1, -1), bias_p]
+    in_specs = [x_spec, full(wqkv.shape), full((1, bqkv.size)),
+                full(wp.shape), full((1, bp.size)), bias_spec]
+    out_shape = jax.ShapeDtypeStruct((b, h, w, c), x.dtype)
+
+    if mask is None:
+        return pl.pallas_call(
+            functools.partial(_block_attn_kernel, ws=ws, nh=nh, scale=scale,
+                              pack=m),
+            grid=grid, in_specs=in_specs, out_specs=x_spec,
+            out_shape=out_shape,
+        )(*args)
+
+    def kern(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+             out_ref):
+        _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                           bias_ref, out_ref, ws=ws, nh=nh, scale=scale,
+                           pack=m, mask_ref=mask_ref)
+
+    mask_p = pack_mask(jnp.asarray(mask, jnp.float32), m)
+    mask_spec = pl.BlockSpec((gx // m, np_, np_), lambda bi, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs + [mask_spec], out_specs=x_spec,
+        out_shape=out_shape,
+    )(*args, mask_p)
+
+
+def _compose_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh,
+                             scale):
+    """XLA composition used off-TPU and as the backward recompute path.
+    The attention core still dispatches to the Pallas fwd/bwd kernels on
+    TPU, so the VJP of this composition reuses the hand-written backward."""
+    qkv = (x @ wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
+    out = window_attention_core_nhwc(qkv, bias, mask, ws, nh, scale)
+    return (out @ wp.astype(x.dtype)) + bp.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
+                          nh: int, scale: float):
+    """qkv projection + W-MSA + output projection in one Pallas kernel.
+
+    x (B, H, W, C); wqkv (C, 3C); bqkv (3C,); wp (C, C); bp (C,) — all
+    compute-dtype; bias (nh, N, N) f32; mask (nW, N, N) or None."""
+    return _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
+                                   nh, scale)
+
+
+def _fba_fwd(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale):
+    out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
+                                  nh, scale)
+    return out, (x, wqkv, bqkv, wp, bp, bias, mask)
+
+
+def _fba_bwd(ws, nh, scale, res, g):
+    x, wqkv, bqkv, wp, bp, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: _compose_block_attention(*a, mask, ws, nh, scale),
+        x, wqkv, bqkv, wp, bp, bias)
+    return (*vjp(g), None)
+
+
+fused_block_attention.defvjp(_fba_fwd, _fba_bwd)
+
+
+def block_attention_nhwc(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
+                         nh: int, scale: float):
+    """Dispatch: fused qkv+attn+proj kernel on TPU for windowed shapes,
+    XLA composition (with the Pallas attention core) elsewhere."""
+    if (jax.default_backend() not in ("cpu",) and ws * ws <= 256
+            and x.shape[1] % ws == 0 and x.shape[2] % ws == 0):
+        return fused_block_attention(x, wqkv, bqkv, wp, bp, bias, mask,
+                                     ws, nh, scale)
+    return _compose_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
+                                    nh, scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def fused_window_attention_nhwc(qkv, bias, mask, ws: int, nh: int,
                                 scale: float):
