@@ -481,10 +481,18 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float,
 
 def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
                        out_ref, *, ws: int, nh: int, scale: float,
-                       pack: int, mask_ref=None):
+                       pack: int, mask_ref=None, lns_ref=None,
+                       lnb_ref=None):
     strip = x_ref[0]                         # (ws, W, C)
     rows, wdim, c = strip.shape
     flat = strip.reshape(rows * wdim, c)
+    if lns_ref is not None:
+        # pre-attention LayerNorm folded in: stats via the MXU ones-dot
+        # (layernorm._ln_rows_mxu), normalize in f32, then straight into
+        # the qkv GEMM — the normed tensor never exists in HBM
+        from .layernorm import _ln_rows_mxu
+        flat = (_ln_rows_mxu(flat) * lns_ref[...]
+                + lnb_ref[...]).astype(strip.dtype)
     qkv = jax.lax.dot_general(
         flat, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -524,7 +532,7 @@ def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
 
 
 def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
-                            nh: int, scale: float):
+                            nh: int, scale: float, ln=None):
     b, h, w, c = x.shape
     grid = (b, h // ws)
     n = ws * ws
@@ -542,36 +550,43 @@ def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
     args = [x, wqkv, bqkv.reshape(1, -1), wp, bp.reshape(1, -1), bias_p]
     in_specs = [x_spec, full(wqkv.shape), full((1, bqkv.size)),
                 full(wp.shape), full((1, bp.size)), bias_spec]
+    names = ["x_ref", "wqkv_ref", "bqkv_ref", "wp_ref", "bp_ref",
+             "bias_ref"]
+    if ln is not None:
+        lns, lnb = ln
+        args += [lns.reshape(1, c).astype(jnp.float32),
+                 lnb.reshape(1, c).astype(jnp.float32)]
+        in_specs += [full((1, c)), full((1, c))]
+        names += ["lns_ref", "lnb_ref"]
+    if mask is not None:
+        args.append(pack_mask(jnp.asarray(mask, jnp.float32), m))
+        in_specs.append(pl.BlockSpec((gx // m, np_, np_),
+                                     lambda bi, r: (r, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        names.append("mask_ref")
     out_shape = jax.ShapeDtypeStruct((b, h, w, c), x.dtype)
 
-    if mask is None:
-        return pl.pallas_call(
-            functools.partial(_block_attn_kernel, ws=ws, nh=nh, scale=scale,
-                              pack=m),
-            grid=grid, in_specs=in_specs, out_specs=x_spec,
-            out_shape=out_shape,
-        )(*args)
+    def kern(*refs):
+        kw = dict(zip(names, refs[:-1]))
+        _block_attn_kernel(kw.pop("x_ref"), kw.pop("wqkv_ref"),
+                           kw.pop("bqkv_ref"), kw.pop("wp_ref"),
+                           kw.pop("bp_ref"), kw.pop("bias_ref"), refs[-1],
+                           ws=ws, nh=nh, scale=scale, pack=m, **kw)
 
-    def kern(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
-             out_ref):
-        _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                           bias_ref, out_ref, ws=ws, nh=nh, scale=scale,
-                           pack=m, mask_ref=mask_ref)
-
-    mask_p = pack_mask(jnp.asarray(mask, jnp.float32), m)
-    mask_spec = pl.BlockSpec((gx // m, np_, np_), lambda bi, r: (r, 0, 0),
-                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        kern, grid=grid, in_specs=in_specs + [mask_spec], out_specs=x_spec,
+        kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=out_shape,
-    )(*args, mask_p)
+    )(*args)
 
 
 def _compose_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh,
-                             scale):
+                             scale, ln=None):
     """XLA composition used off-TPU and as the backward recompute path.
     The attention core still dispatches to the Pallas fwd/bwd kernels on
     TPU, so the VJP of this composition reuses the hand-written backward."""
+    if ln is not None:
+        from .layernorm import layernorm
+        x = layernorm(x, ln[0], ln[1])
     qkv = (x @ wqkv.astype(x.dtype)) + bqkv.astype(x.dtype)
     out = window_attention_core_nhwc(qkv, bias, mask, ws, nh, scale)
     return (out @ wp.astype(x.dtype)) + bp.astype(x.dtype)
@@ -605,16 +620,46 @@ def _fba_bwd(ws, nh, scale, res, g):
 fused_block_attention.defvjp(_fba_fwd, _fba_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_block_attention_ln(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask,
+                             ws: int, nh: int, scale: float):
+    """LN + qkv projection + W-MSA + output projection, one Pallas kernel."""
+    return _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
+                                   nh, scale, ln=(lns, lnb))
+
+
+def _fbal_fwd(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale):
+    out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
+                                  nh, scale, ln=(lns, lnb))
+    return out, (x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask)
+
+
+def _fbal_bwd(ws, nh, scale, res, g):
+    x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_, *a: _compose_block_attention(
+            x_, *a, mask, ws, nh, scale, ln=(s_, b_)),
+        x, lns, lnb, wqkv, bqkv, wp, bp, bias)
+    return (*vjp(g), None)
+
+
+fused_block_attention_ln.defvjp(_fbal_fwd, _fbal_bwd)
+
+
 def block_attention_nhwc(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
-                         nh: int, scale: float):
-    """Dispatch: fused qkv+attn+proj kernel on TPU for windowed shapes,
-    XLA composition (with the Pallas attention core) elsewhere."""
+                         nh: int, scale: float, ln=None):
+    """Dispatch: fused (LN+)qkv+attn+proj kernel on TPU for windowed
+    shapes, XLA composition (with the Pallas attention core) elsewhere."""
     if (jax.default_backend() not in ("cpu",) and ws * ws <= 256
             and x.shape[1] % ws == 0 and x.shape[2] % ws == 0):
+        if ln is not None:
+            return fused_block_attention_ln(x, ln[0], ln[1], wqkv, bqkv,
+                                            wp, bp, bias, mask, ws, nh,
+                                            scale)
         return fused_block_attention(x, wqkv, bqkv, wp, bp, bias, mask,
                                      ws, nh, scale)
     return _compose_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                    nh, scale)
+                                    nh, scale, ln=ln)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
