@@ -209,3 +209,99 @@ def test_nhwc_packed_superwindows_backward():
         np.testing.assert_allclose(np.asarray(got_dbias),
                                    np.asarray(want_dbias),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_global_attention_kernel_matches_reference():
+    """Flash-style global kernel (stage-3 shape, scaled down)."""
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_global_attention, reference_attention_nhwc)
+    b, hw, c, nh = 2, 16, 64, 4
+    qkv = _rand((b, hw, hw, 3 * c), 11)
+    n = hw * hw
+    bias = _rand((nh, n, n), 12)
+    scale = (c // nh) ** -0.5
+    ref = reference_attention_nhwc(qkv, bias, None, hw, nh, scale)
+    with interpret_mode():
+        out = _pallas_global_attention(qkv, bias, nh, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_global_attention_backward_matches_autodiff():
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_global_attention_bwd, reference_attention_nhwc)
+    b, hw, c, nh = 2, 16, 64, 4
+    qkv = _rand((b, hw, hw, 3 * c), 13)
+    n = hw * hw
+    bias = _rand((nh, n, n), 14)
+    scale = (c // nh) ** -0.5
+    loss = lambda q, bi: (reference_attention_nhwc(
+        q, bi, None, hw, nh, scale) ** 2).sum()
+    out = reference_attention_nhwc(qkv, bias, None, hw, nh, scale)
+    g = jax.grad(lambda q, bi: (reference_attention_nhwc(
+        q, bi, None, hw, nh, scale) ** 2).sum(), argnums=(0, 1))(qkv, bias)
+    with interpret_mode():
+        dqkv, dbias = _pallas_global_attention_bwd(qkv, bias, nh, scale,
+                                                   2.0 * out)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(g[0]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(g[1]),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_block_attention_kernel_matches_compose():
+    """Fused qkv+attn+proj kernel vs the XLA composition, masked and not,
+    with and without the folded LayerNorm."""
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_block_attention, _compose_block_attention)
+    b, hw, c, nh, ws = 2, 16, 32, 4, 8
+    x = _rand((b, hw, hw, c), 21)
+    wqkv = _rand((c, 3 * c), 22) * 0.1
+    bqkv = _rand((3 * c,), 23) * 0.1
+    wp = _rand((c, c), 24) * 0.1
+    bp = _rand((c,), 25) * 0.1
+    n = ws * ws
+    bias = _rand((nh, n, n), 26)
+    lns = 1.0 + 0.2 * _rand((c,), 27)
+    lnb = 0.2 * _rand((c,), 28)
+    scale = (c // nh) ** -0.5
+    for mask in (None, shift_attn_mask(hw, hw, ws, 2)):
+        for ln in (None, (lns, lnb)):
+            ref = _compose_block_attention(x, wqkv, bqkv, wp, bp, bias,
+                                           mask, ws, nh, scale, ln=ln)
+            with interpret_mode():
+                out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias,
+                                              mask, ws, nh, scale, ln=ln)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_block_attention_gradients_match_compose():
+    from sodt_tpu.pallas import window_attention as wa
+    b, hw, c, nh, ws = 2, 16, 32, 4, 8
+    x = _rand((b, hw, hw, c), 31)
+    wqkv = _rand((c, 3 * c), 32) * 0.1
+    bqkv = _rand((3 * c,), 33) * 0.1
+    wp = _rand((c, c), 34) * 0.1
+    bp = _rand((c,), 35) * 0.1
+    n = ws * ws
+    bias = _rand((nh, n, n), 36)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, 2)
+
+    def loss_fused(*a):
+        with interpret_mode():
+            return (wa.fused_block_attention(*a, mask, ws, nh,
+                                             scale) ** 2).sum()
+
+    def loss_ref(*a):
+        return (wa._compose_block_attention(*a, mask, ws, nh,
+                                            scale) ** 2).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 3, 5))(x, wqkv, bqkv, wp, bp,
+                                                    bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 3, 5))(x, wqkv, bqkv, wp, bp,
+                                                  bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
