@@ -106,6 +106,23 @@ class DenseParams(nn.Module):
         return k, b
 
 
+class ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv (same {"kernel", "bias"} names,
+    HWIO shape, lecun-normal/zeros init) for megakernel consumers."""
+
+    features: int
+    kernel_size: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kh, kw = self.kernel_size
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return k, b
+
+
 class LNParams(nn.Module):
     """Parameter-only stand-in for FusedLayerNorm ({"scale", "bias"}, f32,
     ones/zeros) so pre-attention LN can fold into the fused block kernel
@@ -134,7 +151,7 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: np.ndarray | None = None,
-                 ln=None):
+                 ln=None, params_only: bool = False):
         """Two input layouts share the same parameters:
 
         * (B_, N, C) pre-partitioned window tokens (the reference
@@ -161,6 +178,10 @@ class WindowAttention(nn.Module):
         wp, bp = DenseParams(c, True, name="proj")(c)
         bqkv = (bqkv if bqkv is not None
                 else jnp.zeros((3 * c,), jnp.float32))
+
+        if params_only:
+            # raw weights + materialized bias for the caller's megakernel
+            return bias, wqkv, bqkv, wp, bp
 
         if x.ndim == 4:
             from ..pallas.window_attention import block_attention_nhwc
@@ -197,8 +218,20 @@ class Mlp(nn.Module):
     dtype: DType = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: tuple[int, int]):
+    def __call__(self, x: jax.Array, hw: tuple[int, int],
+                 params_only: bool = False):
         c_in = x.shape[-1]
+        if params_only:
+            # raw weights for the caller's megakernel; same param tree as
+            # the nn.Dense/nn.Conv modules of the compute path
+            if self.linear:
+                w1, b1 = DenseParams(self.hidden, name="fc1")(c_in)
+                w2, b2 = DenseParams(self.out, name="fc2")(self.hidden)
+                return w1, b1, None, w2, b2
+            w1, b1 = DenseParams(c_in, name="fc1")(c_in)
+            wc, bc = ConvParams(c_in, (2, 2), name="conv1")(c_in)
+            w2, b2 = DenseParams(self.out, name="fc2")(c_in)
+            return w1, b1, (wc, bc), w2, b2
         if self.linear:
             x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
             x = gelu(x)
@@ -250,27 +283,69 @@ class SwinBlock(nn.Module):
             x = x.reshape(b, h, w, c)
         b, _, _, c = x.shape
 
+        attn_mod = WindowAttention(self.dim, ws, self.num_heads,
+                                   self.qkv_bias, dtype=self.dtype,
+                                   name="attn")
+        mlp_mod = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
+                      linear=self.linear_mlp, dtype=self.dtype, name="mlp")
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+
+        # Megakernel fast paths (round 3): the whole block — LN1, qkv,
+        # attention, projection, both residuals, LN2, MLP — runs in one
+        # or two Pallas kernels; only the block input/output touch HBM.
+        dt = self.dtype
+        on_tpu = jax.default_backend() not in ("cpu",)
+        fast = on_tpu and ws * ws <= 256 and h % ws == 0 and w % ws == 0
+        scale = (c // self.num_heads) ** -0.5
+        if fast and shift == 0 and self.linear_mlp:
+            from ..pallas.swin_block import fused_swin_block
+            lns1, lnb1 = LNParams(name="norm1")(c)
+            lns2, lnb2 = LNParams(name="norm2")(c)
+            bias, wqkv, bqkv, wp, bp = attn_mod(x, params_only=True)
+            w1, b1, _, w2, b2 = mlp_mod(x, (h, w), params_only=True)
+            out = fused_swin_block(
+                x, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
+                wp.astype(dt), bp.astype(dt), lns2, lnb2, w1.astype(dt),
+                b1.astype(dt), w2.astype(dt), b2.astype(dt), bias, ws,
+                self.num_heads, scale)
+            return out.reshape(b, h * w, c) if tokens_in else out
+        if fast and not self.linear_mlp:
+            from ..pallas.window_attention import fused_block_attention_ln
+            from ..pallas.swin_block import fused_conv_mlp_tail
+            lns1, lnb1 = LNParams(name="norm1")(c)
+            lns2, lnb2 = LNParams(name="norm2")(c)
+            bias, wqkv, bqkv, wp, bp = attn_mod(x, params_only=True)
+            w1, b1, (wc, bc), w2, b2 = mlp_mod(x, (h, w), params_only=True)
+            xr = (jnp.roll(x, (-shift, -shift), (1, 2)) if shift else x)
+            a = fused_block_attention_ln(
+                xr, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
+                wp.astype(dt), bp.astype(dt), bias, mask, ws,
+                self.num_heads, scale)
+            if shift:
+                a = jnp.roll(a, (shift, shift), (1, 2))
+            out = fused_conv_mlp_tail(
+                x, a, lns2, lnb2, w1.astype(dt), b1.astype(dt),
+                wc.astype(dt), bc.astype(dt), w2.astype(dt), b2.astype(dt))
+            return out.reshape(b, h * w, c) if tokens_in else out
+
         shortcut = x
-        # Note: folding norm1 into the fused attention kernel (the ln=
-        # path below) was measured net-NEGATIVE at batch 64 (+7 ms):
-        # XLA amortizes the LN into neighboring fusions, while the
-        # in-kernel LN pays fresh VPU passes. Kept as an API for the
-        # future full-block megakernel; dispatch stays on the XLA LN.
+        # Note: folding norm1 into the fused attention kernel was measured
+        # net-NEGATIVE when the rest of the block stayed in XLA (+7 ms at
+        # batch 64): XLA amortizes the LN into neighboring fusions. The
+        # megakernel paths above fold it profitably because there are no
+        # XLA neighbors left; this fallback keeps the XLA LN.
         x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
-        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         # NHWC path: the attention module partitions windows inside the
         # fused kernel (no HBM partition/unpartition copies)
-        x = WindowAttention(self.dim, ws, self.num_heads, self.qkv_bias,
-                            dtype=self.dtype, name="attn")(x, mask)
+        x = attn_mod(x, mask)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
 
         # residual add + norm2 fused into one HBM pass
         x, y = FusedAddLayerNorm(dtype=self.dtype, name="norm2")(shortcut, x)
-        y = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
-                linear=self.linear_mlp, dtype=self.dtype, name="mlp")(y, (h, w))
+        y = mlp_mod(y, (h, w))
         out = x + y
         return out.reshape(b, h * w, c) if tokens_in else out
 

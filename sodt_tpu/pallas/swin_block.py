@@ -1,0 +1,300 @@
+"""Full Swin-block megakernels (round 3).
+
+Round-2 profiling showed the fused attention kernel surrounded by ~115 ms
+of XLA LN/residual/MLP work plus ~35 ms of kernel-boundary overhead per
+batch-64 eval step (isolated stage-1 attention kernel 9.1 ms vs 15 ms
+in-model). These kernels close that gap by moving the ENTIRE Swin block
+(reference /root/reference/basics/models/backbone_vit.py:1011-1130) into
+Pallas, so only the block input and output ever touch HBM:
+
+  * `fused_swin_block` — non-shifted block with linear MLP, one program
+    per row-strip: LN1 -> qkv GEMM -> windowed attention -> output
+    projection -> +residual -> LN2 -> fc1 -> GELU -> fc2 -> +residual.
+    Weights stay resident in VMEM across grid steps; qkv, attention
+    scores, normed rows and the MLP hidden never leave the chip.
+  * `fused_conv_mlp_tail` — the back half of a *shifted* block
+    (conv-augmented MLP, backbone_vit.py:863-908): residual add + LN2 +
+    fc1 + 2x2 conv + GELU + fc2 + residual. The 2x2 conv consumes one
+    halo row below the strip; the kernel reads the NEXT strip of both
+    inputs through a second BlockSpec (index map r+1, clamped) and
+    zeroes the halo at the bottom edge. Note the reference zero-pads the
+    fc1 OUTPUT before the VALID conv (fc1(0) != 0), so the bottom-edge
+    halo must be zeroed after fc1, not before.
+
+Backward replays the XLA composition under jax.custom_vjp (whose
+attention core dispatches back into the hand-written Pallas backward
+kernels): forward-speed kernels with reference gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layernorm import _ln_rows_mxu, layernorm
+from .window_attention import (_pick_pack, pack_bias,
+                               window_attention_core_nhwc)
+from ..ops.activations import gelu
+
+
+def _gelu_in_kernel(x32, out_dtype):
+    """f32 GELU matching ops.activations.gelu for the *compute* dtype:
+    exact erf when the block computes in f32 (torch golden parity), tanh
+    approximation in bf16 (error an order below bf16 resolution)."""
+    return jax.nn.gelu(x32, approximate=out_dtype != jnp.float32)
+
+
+# --------------------------------------------- full block (linear MLP)
+
+def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
+                 bp_ref, lns2_ref, lnb2_ref, w1_ref, b1_ref, w2_ref,
+                 b2_ref, bias_ref, out_ref, *, ws: int, nh: int,
+                 scale: float, pack: int):
+    strip = x_ref[0]                                  # (ws, W, C)
+    rows, wdim, c = strip.shape
+    flat = strip.reshape(rows * wdim, c)
+    x32 = flat.astype(jnp.float32)
+
+    ln1 = (_ln_rows_mxu(flat) * lns1_ref[...]
+           + lnb1_ref[...]).astype(strip.dtype)
+    qkv = jax.lax.dot_general(
+        ln1, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...]).astype(strip.dtype)   # (ws*W, 3C)
+
+    g = wdim // ws
+    n = ws * ws
+    c3 = 3 * c
+    hd = c // nh
+    gp, np_ = g // pack, pack * n
+    xw = qkv.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
+        gp, np_, c3)
+    heads = []
+    for hh in range(nh):
+        q = xw[:, :, hh * hd:(hh + 1) * hd] * jnp.asarray(scale, xw.dtype)
+        k = xw[:, :, c + hh * hd:c + (hh + 1) * hd]
+        v = xw[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[hh][None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads.append(o.astype(strip.dtype))
+    attn = jnp.concatenate(heads, axis=-1)            # (G/m, m*N, C)
+    attn = attn.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
+        rows * wdim, c)
+
+    proj = jax.lax.dot_general(
+        attn, wp_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bp_ref[...]
+    res1 = x32 + proj                                 # f32 (ws*W, C)
+
+    ln2 = (_ln_rows_mxu(res1) * lns2_ref[...]
+           + lnb2_ref[...]).astype(strip.dtype)
+    h1 = jax.lax.dot_general(
+        ln2, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    h1 = _gelu_in_kernel(h1, strip.dtype).astype(strip.dtype)
+    y = jax.lax.dot_general(
+        h1, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    out = res1 + y
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _row2(v):
+    return v.reshape(1, -1)
+
+
+def _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
+                       w1, b1, w2, b2, bias, ws: int, nh: int,
+                       scale: float):
+    b, h, w, c = x.shape
+    grid = (b, h // ws)
+    n = ws * ws
+    gx = w // ws
+    m = _pick_pack(n, gx)
+    bias_p = pack_bias(bias, m)
+    np_ = m * n
+
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    f32row = lambda v: _row2(v).astype(jnp.float32)
+    args = [x, f32row(lns1), f32row(lnb1), wqkv, _row2(bqkv), wp,
+            _row2(bp), f32row(lns2), f32row(lnb2), w1, _row2(b1), w2,
+            _row2(b2), bias_p]
+    in_specs = [x_spec] + [full(a.shape) for a in args[1:-1]] + [
+        pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM)]
+    return pl.pallas_call(
+        functools.partial(_mega_kernel, ws=ws, nh=nh, scale=scale, pack=m),
+        grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+    )(*args)
+
+
+def _compose_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
+                        w1, b1, w2, b2, bias, ws, nh, scale):
+    """XLA composition: off-TPU forward and the backward recompute path
+    (its attention core dispatches to the Pallas fwd/bwd kernels on TPU)."""
+    dt = x.dtype
+    t = layernorm(x, lns1, lnb1)
+    qkv = t @ wqkv.astype(dt) + bqkv.astype(dt)
+    a = window_attention_core_nhwc(qkv, bias, None, ws, nh, scale)
+    res1 = x + (a @ wp.astype(dt) + bp.astype(dt))
+    t2 = layernorm(res1, lns2, lnb2)
+    h1 = gelu(t2 @ w1.astype(dt) + b1.astype(dt))
+    return res1 + (h1 @ w2.astype(dt) + b2.astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+def fused_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
+                     w1, b1, w2, b2, bias, ws: int, nh: int, scale: float):
+    """Entire non-shifted Swin block (linear MLP) as one Pallas kernel.
+
+    x (B, H, W, C); LN scales/biases f32 (C,); wqkv (C, 3C); wp (C, C);
+    w1 (C, hidden); w2 (hidden, C) — weights in compute dtype;
+    bias (nh, N, N) f32 relative-position bias."""
+    return _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
+                              lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
+
+
+def _fsb_fwd(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1, w2,
+             b2, bias, ws, nh, scale):
+    out = _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
+                             lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
+    return out, (x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1,
+                 w2, b2, bias)
+
+
+def _fsb_bwd(ws, nh, scale, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _compose_swin_block(*a, ws, nh, scale), *res)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
+
+
+# ------------------------------------------- conv-MLP tail (shifted blocks)
+
+def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
+                      w1_ref, b1_ref, wc_ref, bc_ref, w2_ref, b2_ref,
+                      out_ref):
+    sx = x_ref[0]                                     # (ws, W, C)
+    sa = a_ref[0]
+    rows, wdim, c = sx.shape
+    res1 = sx.astype(jnp.float32) + sa.astype(jnp.float32)
+    halo = (xn_ref[0, 0].astype(jnp.float32)
+            + an_ref[0, 0].astype(jnp.float32))       # (W, C)
+    t = jnp.concatenate([res1.reshape(rows * wdim, c), halo], axis=0)
+
+    ln = (_ln_rows_mxu(t) * lns_ref[...] + lnb_ref[...]).astype(sx.dtype)
+    f1 = jax.lax.dot_general(
+        ln, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    # bottom edge: the reference pads the fc1 OUTPUT with zeros before the
+    # VALID conv — zero the halo rows on the last strip (fc1(0) != 0)
+    last = pl.program_id(1) == pl.num_programs(1) - 1
+    flag = jnp.where(last, 0.0, 1.0).astype(jnp.float32)
+    f1 = jnp.concatenate(
+        [f1[:rows * wdim], f1[rows * wdim:] * flag], axis=0)
+    f1 = f1.astype(sx.dtype).reshape(rows + 1, wdim, c)
+    # right edge zero column (reference right-pad)
+    f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 0)))
+
+    acc = None
+    for di in (0, 1):
+        for dj in (0, 1):
+            patch = f1[di:di + rows, dj:dj + wdim].reshape(rows * wdim, c)
+            term = jax.lax.dot_general(
+                patch, wc_ref[di, dj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+    acc = acc + bc_ref[...]
+    y = _gelu_in_kernel(acc, sx.dtype).astype(sx.dtype)
+    z = jax.lax.dot_general(
+        y, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    out = res1.reshape(rows * wdim, c) + z
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int):
+    b, h, w, c = x.shape
+    nr = h // ws
+    grid = (b, nr)
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, ws, w, c),
+                       lambda bi, r: (bi, jnp.minimum(r + 1, nr - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    f32row = lambda v: _row2(v).astype(jnp.float32)
+    args = [x, a, x, a, f32row(lns), f32row(lnb), w1, _row2(b1), wc,
+            _row2(bc), w2, _row2(b2)]
+    in_specs = [x_spec, x_spec, nxt, nxt] + [full(v.shape)
+                                             for v in args[4:]]
+    return pl.pallas_call(
+        _conv_tail_kernel, grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+    )(*args)
+
+
+def _compose_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
+    dt = x.dtype
+    res1 = x + a
+    t = layernorm(res1, lns, lnb)
+    f1 = t @ w1.astype(dt) + b1.astype(dt)
+    f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        f1, wc.astype(dt), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bc.astype(dt)
+    y = gelu(y)
+    return res1 + (y @ w2.astype(dt) + b2.astype(dt))
+
+
+@jax.custom_vjp
+def fused_conv_mlp_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
+    """Residual + LN2 + fc1 + 2x2 conv + GELU + fc2 + residual, fused.
+
+    x, a (B, H, W, C): block input and (unrolled) attention output;
+    wc (2, 2, C, C) conv kernel (flax HWIO). H must divide by the strip
+    height (the caller's window size)."""
+    ws = _tail_ws(x.shape[1])
+    return _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws)
+
+
+def _tail_ws(h: int, target: int = 8) -> int:
+    """Strip height for the tail kernel: the window size when it divides
+    H (always, in the backbone), else the largest divisor <= target."""
+    if h % target == 0:
+        return target
+    for ws in range(min(target, h), 0, -1):
+        if h % ws == 0:
+            return ws
+    return 1
+
+
+def _fct_fwd(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
+    out = _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
+                            _tail_ws(x.shape[1]))
+    return out, (x, a, lns, lnb, w1, b1, wc, bc, w2, b2)
+
+
+def _fct_bwd(res, g):
+    _, vjp = jax.vjp(_compose_conv_tail, *res)
+    return vjp(g)
+
+
+fused_conv_mlp_tail.defvjp(_fct_fwd, _fct_bwd)

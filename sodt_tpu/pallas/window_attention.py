@@ -405,6 +405,10 @@ def _strip_kernel(qkv_ref, bias_ref, out_ref, *, ws: int, nh: int,
         if softmax_max:
             p = jax.nn.softmax(s, axis=-1)
         else:
+            # BENCHMARK-ONLY knob (off by default, unreachable from model
+            # code): unstabilized softmax overflows to inf/NaN for scores
+            # above ~88 in f32. Measured within noise of the safe path
+            # anyway — kept only so the microbench can reproduce that.
             e = jnp.exp(s)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
@@ -904,6 +908,18 @@ def _pallas_global_attention(qkv, bias, nh: int, scale: float):
     return out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
 
 
+def _bwd_row_chunk(n: int, cap: int = 256) -> int | None:
+    """Largest divisor of n that is <= cap; None when too small to tile.
+
+    The backward grids step q-rows in uniform chunks of rc with grid
+    n // rc, so rc MUST divide n — a remainder would leave dq rows
+    unwritten and drop dk/dv/dbias contributions (silent wrong grads)."""
+    for rc in range(min(cap, n), 7, -1):
+        if n % rc == 0:
+            return rc
+    return None
+
+
 def _global_chunk_grads(qkv_ref, bias_chunk, g_ref, r0, rc, scale):
     """Shared recompute for one q-row chunk: returns (p, ds, qc, k, v)."""
     k = qkv_ref[0, 1, 0]
@@ -978,7 +994,8 @@ def _pallas_global_attention_bwd(qkv, bias, nh, scale, gy):
     x = _split_heads_qkv(qkv, nh)
     g = gy.reshape(b, n, nh, hd).transpose(0, 2, 1, 3)   # (B, nh, N, hd)
 
-    rc = 256
+    rc = _bwd_row_chunk(n)
+    assert rc is not None, f"no row-chunk divides n={n}; caller must fall back"
     x_spec3 = lambda ix: pl.BlockSpec((1, 3, 1, n, hd), ix,
                                       memory_space=pltpu.VMEM)
     g_spec3 = lambda ix: pl.BlockSpec((1, 1, n, hd), ix,
@@ -993,7 +1010,9 @@ def _pallas_global_attention_bwd(qkv, bias, nh, scale, gy):
                   bias_spec3(lambda hh, bi, ci: (hh, ci, 0)),
                   g_spec3(lambda hh, bi, ci: (bi, hh, 0, 0))],
         out_specs=x_spec3(lambda hh, bi, ci: (bi, 0, hh, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 3, nh, n, hd), qkv.dtype),
+        # f32 output: dk/dv are accumulated read-modify-write across n//rc
+        # chunk programs; bf16 round-trips each visit would degrade grads.
+        out_shape=jax.ShapeDtypeStruct((b, 3, nh, n, hd), jnp.float32),
     )(x, bias, g)
 
     dbias = pl.pallas_call(
@@ -1007,7 +1026,7 @@ def _pallas_global_attention_bwd(qkv, bias, nh, scale, gy):
     )(x, bias, g)
 
     dqkv = dqkv.transpose(0, 3, 1, 2, 4).reshape(qkv.shape)
-    return dqkv, dbias
+    return dqkv.astype(qkv.dtype), dbias
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -1022,7 +1041,9 @@ def _fga_fwd(qkv, bias, nh, scale):
 
 def _fga_bwd(nh, scale, res, g):
     qkv, bias = res
-    if jax.default_backend() not in ("cpu",):
+    n = qkv.shape[1] * qkv.shape[2]
+    if (jax.default_backend() not in ("cpu",)
+            and _bwd_row_chunk(n) is not None):
         return _pallas_global_attention_bwd(qkv, bias, nh, scale, g)
     ws = qkv.shape[1]
     _, vjp = jax.vjp(

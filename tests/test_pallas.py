@@ -249,6 +249,33 @@ def test_global_attention_backward_matches_autodiff():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_global_attention_backward_non256_rows():
+    """N=400 (e.g. 640px stage-3: 20x20 tokens) does not divide 256: the
+    row chunk must divide N or tail rows silently lose gradient. Regression
+    for the rc=256 hard-code (round-2 advisor high)."""
+    from sodt_tpu.pallas.window_attention import (
+        _bwd_row_chunk, _pallas_global_attention_bwd,
+        reference_attention_nhwc)
+    assert _bwd_row_chunk(400) == 200
+    assert _bwd_row_chunk(1024) == 256
+    assert _bwd_row_chunk(257) is None  # prime > cap: caller must fall back
+    b, hw, c, nh = 1, 20, 32, 2
+    qkv = _rand((b, hw, hw, 3 * c), 15)
+    n = hw * hw
+    bias = _rand((nh, n, n), 16)
+    scale = (c // nh) ** -0.5
+    out = reference_attention_nhwc(qkv, bias, None, hw, nh, scale)
+    g = jax.grad(lambda q, bi: (reference_attention_nhwc(
+        q, bi, None, hw, nh, scale) ** 2).sum(), argnums=(0, 1))(qkv, bias)
+    with interpret_mode():
+        dqkv, dbias = _pallas_global_attention_bwd(qkv, bias, nh, scale,
+                                                   2.0 * out)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(g[0]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(g[1]),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_block_attention_kernel_matches_compose():
     """Fused qkv+attn+proj kernel vs the XLA composition, masked and not,
     with and without the folded LayerNorm."""
@@ -305,3 +332,84 @@ def test_block_attention_gradients_match_compose():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_swin_block_megakernel_matches_compose():
+    """Round-3 megakernel (LN1+qkv+attn+proj+res+LN2+MLP+res) vs the XLA
+    composition, interpret mode."""
+    from sodt_tpu.pallas.swin_block import (_pallas_swin_block,
+                                            _compose_swin_block)
+    b, hw, c, nh, ws = 2, 16, 32, 4, 8
+    hid = 4 * c
+    x = _rand((b, hw, hw, c), 41)
+    lns1 = 1.0 + 0.1 * _rand((c,), 42)
+    lnb1 = 0.1 * _rand((c,), 43)
+    lns2 = 1.0 + 0.1 * _rand((c,), 44)
+    lnb2 = 0.1 * _rand((c,), 45)
+    wqkv = 0.1 * _rand((c, 3 * c), 46)
+    bqkv = 0.1 * _rand((3 * c,), 47)
+    wp = 0.1 * _rand((c, c), 48)
+    bp = 0.1 * _rand((c,), 49)
+    w1 = 0.1 * _rand((c, hid), 50)
+    b1 = 0.1 * _rand((hid,), 51)
+    w2 = 0.1 * _rand((hid, c), 52)
+    b2 = 0.1 * _rand((c,), 53)
+    bias = _rand((nh, ws * ws, ws * ws), 54)
+    scale = (c // nh) ** -0.5
+    args = (x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1, w2,
+            b2, bias)
+    ref = _compose_swin_block(*args, ws, nh, scale)
+    with interpret_mode():
+        out = _pallas_swin_block(*args, ws, nh, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_mlp_tail_matches_compose():
+    """Conv-MLP tail kernel: halo row across the strip boundary and the
+    zeroed bottom edge must reproduce the padded 2x2 conv exactly."""
+    from sodt_tpu.pallas.swin_block import (_pallas_conv_tail,
+                                            _compose_conv_tail)
+    b, hw, c = 2, 16, 32
+    x = _rand((b, hw, hw, c), 61)
+    a = _rand((b, hw, hw, c), 62)
+    lns = 1.0 + 0.1 * _rand((c,), 63)
+    lnb = 0.1 * _rand((c,), 64)
+    w1 = 0.1 * _rand((c, c), 65)
+    b1 = 0.1 * _rand((c,), 66)
+    wc = 0.1 * _rand((2, 2, c, c), 67)
+    bc = 0.1 * _rand((c,), 68)
+    w2 = 0.1 * _rand((c, c), 69)
+    b2 = 0.1 * _rand((c,), 70)
+    ref = _compose_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2)
+    with interpret_mode():
+        out = _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_conv_mlp_tail_grad_matches_compose():
+    """custom_vjp replay: grads of the fused tail equal the composition."""
+    from sodt_tpu.pallas.swin_block import (fused_conv_mlp_tail,
+                                            _compose_conv_tail)
+    b, hw, c = 1, 8, 16
+    x = _rand((b, hw, hw, c), 71)
+    a = _rand((b, hw, hw, c), 72)
+    lns = 1.0 + 0.1 * _rand((c,), 73)
+    lnb = 0.1 * _rand((c,), 74)
+    w1 = 0.1 * _rand((c, c), 75)
+    b1 = 0.1 * _rand((c,), 76)
+    wc = 0.1 * _rand((2, 2, c, c), 77)
+    bc = 0.1 * _rand((c,), 78)
+    w2 = 0.1 * _rand((c, c), 79)
+    b2 = 0.1 * _rand((c,), 80)
+    args = (x, a, lns, lnb, w1, b1, wc, bc, w2, b2)
+    gref = jax.grad(lambda *aa: (_compose_conv_tail(*aa) ** 2).sum(),
+                    argnums=tuple(range(10)))(*args)
+    with interpret_mode():
+        gfused = jax.grad(
+            lambda *aa: (fused_conv_mlp_tail(*aa) ** 2).sum(),
+            argnums=tuple(range(10)))(*args)
+    for gr, gf in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3)
