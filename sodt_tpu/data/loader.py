@@ -60,11 +60,15 @@ class RamCache:
 
 
 def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
-                 s: int, hyp: dict, use_mixup: bool):
+                 s: int, hyp: dict, use_mixup: bool, mosaic_p: float = 1.0):
     """Full train augmentation for ONE output sample (vmapped over batch).
 
     rgb4/ir4: (4, s, s, 3) float tiles; lab4: (4, M, 5) xywhn + mask.
-    The *b variants feed mixup's second mosaic.
+    The *b variants feed mixup's second mosaic. `mosaic_p` gates mosaic
+    per sample like the reference's `random.random() < hyp['mosaic']`
+    (datasets.py:541); non-mosaic samples take the letterbox branch
+    (datasets.py:580-607 — on square VEDAI letterbox == the resize the
+    tiles already had) followed by the same random_perspective.
     """
     k_m, k_p, k_h, k_f, k_x, k_m2, k_p2 = jax.random.split(key, 7)
     p = PerspectiveParams(degrees=hyp.get("degrees", 0.0),
@@ -83,18 +87,50 @@ def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
         cls_flat = cls4.reshape(-1)
         return img, ir, labels, mask, cls_flat
 
-    img, ir, labels, mask, cls = one_mosaic(rgb4, ir4, lab4, msk4, k_m, k_p)
-    if use_mixup:
-        img2, ir2, lab2, msk2, cls2 = one_mosaic(rgb4b, ir4b, lab4b, msk4b,
-                                                 k_m2, k_p2)
-        do = jax.random.uniform(k_x) < hyp.get("mixup", 0.0)
-        lam = jax.random.beta(jax.random.fold_in(k_x, 1), 32.0, 32.0)
-        img = jnp.where(do, img * lam + img2 * (1 - lam), img)
-        ir = jnp.where(do, ir * lam + ir2 * (1 - lam), ir)
-        # second sample's labels switch on only under mixup
-        labels = jnp.concatenate([labels, lab2], 0)
-        mask = jnp.concatenate([mask, msk2 & do], 0)
-        cls = jnp.concatenate([cls, cls2], 0)
+    def one_single(kp):
+        """Non-mosaic branch: tile 0 + perspective (no mosaic border)."""
+        lab_px = xywhn2xyxy(lab4[0][:, 1:5], s, s)
+        img, ir, labels, mask = random_perspective(
+            rgb4[0], ir4[0], lab_px, msk4[0], kp, p, (s, s))
+        return img, ir, labels, mask, lab4[0][:, 0]
+
+    if mosaic_p > 0.0:
+        img, ir, labels, mask, cls = one_mosaic(rgb4, ir4, lab4, msk4,
+                                                k_m, k_p)
+        if use_mixup:
+            # mixup only composes with mosaic (reference datasets.py:548)
+            img2, ir2, lab2, msk2, cls2 = one_mosaic(
+                rgb4b, ir4b, lab4b, msk4b, k_m2, k_p2)
+            do = jax.random.uniform(k_x) < hyp.get("mixup", 0.0)
+            lam = jax.random.beta(jax.random.fold_in(k_x, 1), 32.0, 32.0)
+            img = jnp.where(do, img * lam + img2 * (1 - lam), img)
+            ir = jnp.where(do, ir * lam + ir2 * (1 - lam), ir)
+            # second sample's labels switch on only under mixup
+            labels = jnp.concatenate([labels, lab2], 0)
+            mask = jnp.concatenate([mask, msk2 & do], 0)
+            cls = jnp.concatenate([cls, cls2], 0)
+    if mosaic_p < 1.0:
+        imgS, irS, labS, mskS, clsS = one_single(
+            jax.random.fold_in(k_p, 99))
+        if mosaic_p <= 0.0:
+            img, ir, labels, mask, cls = imgS, irS, labS, mskS, clsS
+        else:
+            # pad the single-tile labels to the mosaic capacity, then
+            # select per sample
+            extra = labels.shape[0] - labS.shape[0]
+            labS = jnp.concatenate(
+                [labS, jnp.zeros((extra, 4), labS.dtype)], 0)
+            mskS = jnp.concatenate(
+                [mskS, jnp.zeros((extra,), bool)], 0)
+            clsS = jnp.concatenate(
+                [clsS, jnp.zeros((extra,), clsS.dtype)], 0)
+            do_m = jax.random.uniform(
+                jax.random.fold_in(k_m, 99)) < mosaic_p
+            img = jnp.where(do_m, img, imgS)
+            ir = jnp.where(do_m, ir, irS)
+            labels = jnp.where(do_m, labels, labS)
+            mask = jnp.where(do_m, mask, mskS)
+            cls = jnp.where(do_m, cls, clsS)
 
     # HSV on RGB only (datasets.py:869-871)
     img = hsv_augment(img, k_h, hyp.get("hsv_h", 0.015),
@@ -115,8 +151,10 @@ def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
     return img / 255.0, ir / 255.0, targets, mask
 
 
-def make_augment_fn(s: int, hyp: dict, use_mixup: bool):
-    fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup)
+def make_augment_fn(s: int, hyp: dict, use_mixup: bool,
+                    mosaic_p: float = 1.0):
+    fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup,
+                           mosaic_p=mosaic_p)
     if not use_mixup:
         # drop the secondary-mosaic operands from the jit signature so the
         # loader never decodes or transfers them (hyp mixup: 0.0 default)
@@ -205,8 +243,11 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     n = len(dataset)
     labels = dataset.labels
     rng = np.random.default_rng(seed)
-    use_mixup = hyp.get("mixup", 0.0) > 0
-    aug = make_augment_fn(img_size, hyp, use_mixup)
+    # per-sample mosaic probability (reference datasets.py:541); the
+    # mosaic= flag forces the letterbox-only path regardless of hyp
+    mosaic_p = float(hyp.get("mosaic", 1.0)) if mosaic else 0.0
+    use_mixup = hyp.get("mixup", 0.0) > 0 and mosaic_p > 0
+    aug = make_augment_fn(img_size, hyp, use_mixup, mosaic_p)
     m0 = max_labels_per_image
     if n < batch_size:
         raise ValueError(

@@ -90,8 +90,14 @@ class ImageEncoderViT(nn.Module):
             pos = self.param("pos_embed", nn.initializers.zeros,
                              (1, self.img_size // 4, self.img_size // 4, c),
                              jnp.float32)
-            if pos.shape[1] == h:
-                x = x + pos.astype(x.dtype)
+            if pos.shape[1:3] != (h, w):
+                # Off-config sizes (val.py --task study sweeps 256..1536):
+                # bilinearly resample the learned grid to the runtime grid.
+                # The reference shape-errors here (backbone_vit.py:215-217);
+                # silently *dropping* the embedding (round-2 behavior) is
+                # worse than either. Exact at the config size by the guard.
+                pos = jax.image.resize(pos, (1, h, w, c), method="bilinear")
+            x = x + pos.astype(x.dtype)
 
         # stages run NHWC-native end to end (no token-layout round trips)
         Blk = nn.remat(SwinBlock) if self.remat else SwinBlock

@@ -200,3 +200,24 @@ def test_mf_input_mode():
     out = model.apply(v, x, x, train=False)
     # stride 4 single level
     assert out["raw"][0].shape == (1, 16, 16, 3, 13)
+
+
+def test_pos_embed_interpolated_at_off_config_size():
+    """At sizes other than the config img_size the learned pos_embed must be
+    bilinearly resampled onto the runtime grid, not silently dropped
+    (round-2 weakness; reference backbone_vit.py:215-217 shape-errors)."""
+    from sodt_tpu.models.backbone import ImageEncoderViT
+    enc = ImageEncoderViT(img_size=64, embed_dim=32, num_heads=4,
+                          out_chans=16, chan_embed_dim=8)
+    x128 = jnp.zeros((1, 128, 128, 4), jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x128)
+    base = enc.apply(variables, x128)
+    # a nonzero pos_embed must change the output at the off-config size
+    import jax as _jax
+    bumped = _jax.tree_util.tree_map(lambda v: v, variables)
+    p = dict(bumped["params"])
+    assert p["pos_embed"].shape == (1, 16, 16, 32)
+    p["pos_embed"] = jnp.ones_like(p["pos_embed"])
+    out = enc.apply({"params": p}, x128)
+    diff = float(jnp.abs(out[0] - base[0]).max())
+    assert diff > 1e-4, "pos_embed silently dropped at off-config size"
