@@ -338,8 +338,14 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
 
 def make_eval_batches(dataset, batch_size: int, img_size: int,
                       max_labels_per_image: int = 60) -> Iterator[dict]:
-    """Deterministic eval batches: plain resize (VEDAI is square), /255."""
+    """Deterministic eval batches: plain resize (VEDAI is square), /255.
+
+    Emits per-image "stems" (file stems when the dataset has img_files,
+    else dataset indices) so the COCO-format export joins on real image
+    ids like the reference (test.py:197 uses Path(p).stem)."""
+    from pathlib import Path
     n = len(dataset)
+    files = getattr(dataset, "img_files", None)
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
         # pad the last batch by repeating the final sample; extra entries
@@ -362,4 +368,6 @@ def make_eval_batches(dataset, batch_size: int, img_size: int,
             "targets": jnp.asarray(np.stack(labs)),
             "tmask": jnp.asarray(np.stack(msks)),
             "indices": idx, "valid": valid, "shapes": shapes,
+            "stems": [(Path(files[i]).stem if files is not None else str(i))
+                      for i in idx],
         }

@@ -35,8 +35,14 @@ from .loss import LossConfig, compute_loss
 def make_eval_step(model, *, conf_thres: float = 0.001,
                    iou_thres: float = 0.6, max_det: int = 300,
                    top_k: int = 4096, merge: bool = True,
-                   multi_label: bool = True, loss_cfg: LossConfig | None = None):
-    """Jitted (variables, img, ir[, targets, tmask]) -> (dets, valid[, loss])."""
+                   multi_label: bool = True,
+                   loss_cfg: LossConfig | None = None,
+                   augment: bool = False):
+    """Jitted (variables, img, ir[, targets, tmask]) -> (dets, valid[, loss]).
+
+    augment=True runs test-time augmentation (reference test.py:360 ->
+    Model(augment=True), model.py:156-184): three scale/flip passes whose
+    de-scaled predictions are concatenated before NMS."""
 
     anchors = np.asarray(model.spec.anchors, np.float32).reshape(
         len(model.spec.anchors), -1, 2)
@@ -52,8 +58,13 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
         preds = []
         out = None
         for v in vs:
-            out = model.apply(v, img, ir, train=False)
-            preds.append(decode_detections(out["raw"], anchors, strides))
+            if augment:
+                from .tta import tta_forward
+                preds.append(tta_forward(model, v, img, ir))
+            else:
+                out = model.apply(v, img, ir, train=False)
+                preds.append(decode_detections(out["raw"], anchors,
+                                               strides))
         pred = (preds[0] if len(preds) == 1
                 else jnp.concatenate(preds, axis=1))
         dets, valid = batched_nms(
@@ -61,7 +72,11 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
             multi_label=multi_label, max_det=max_det, top_k=top_k,
             merge=merge)
         losses = None
-        if loss_cfg is not None and targets is not None:
+        # val loss: single models only — for NMS ensembles the raw outputs
+        # of one member would misstate the ensemble (the reference computes
+        # loss only in training-time val, where the model is single)
+        if (loss_cfg is not None and targets is not None
+                and len(vs) == 1 and not augment):
             _, losses = compute_loss(out["raw"], targets, tmask, loss_cfg)
         return dets, valid, losses
 
@@ -73,14 +88,15 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
              max_det: int = 300, top_k: int = 4096, merge: bool = True,
              loss_cfg: LossConfig | None = None, names=None,
              confusion: bool = False, verbose: bool = False,
-             save_json: str | None = None, save_txt: str | None = None):
+             save_json: str | None = None, save_txt: str | None = None,
+             augment: bool = False, anno_json: str | None = None):
     """Run the full eval protocol. Returns a metrics dict.
 
     `batches` yields dicts from data.loader.make_eval_batches.
     """
     step = make_eval_step(model, conf_thres=conf_thres, iou_thres=iou_thres,
                           max_det=max_det, top_k=top_k, merge=merge,
-                          loss_cfg=loss_cfg)
+                          loss_cfg=loss_cfg, augment=augment)
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
     cm = ConfusionMatrix(nc=nc) if confusion else None
@@ -122,8 +138,14 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 cm.process_batch(d, labels5)
             stats.append((correct, d[:, 4], d[:, 5], tcls))
 
-            ids = batch.get("indices")
-            image_id = ids[si] if ids is not None else seen - 1
+            # real image id: file stem, int when numeric (test.py:197)
+            stems = batch.get("stems")
+            if stems is not None:
+                stem = stems[si]
+                image_id = int(stem) if str(stem).isnumeric() else stem
+            else:
+                ids = batch.get("indices")
+                image_id = ids[si] if ids is not None else seen - 1
             if save_json is not None or save_txt is not None:
                 # export in NATIVE image space like the reference
                 # (test.py:171 scale_coords before save)
@@ -138,7 +160,7 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                         (h0, w0)))
                 if save_json is not None:
                     for x1, y1, x2, y2, conf_, cls_ in dn:
-                        jdict.append({"image_id": int(image_id),
+                        jdict.append({"image_id": image_id,
                                       "category_id": int(cls_),
                                       "bbox": [round(float(x1), 3),
                                                round(float(y1), 3),
@@ -148,7 +170,7 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 if save_txt is not None:
                     import os
                     os.makedirs(save_txt, exist_ok=True)
-                    with open(f"{save_txt}/{int(image_id)}.txt", "w") as fh:
+                    with open(f"{save_txt}/{image_id}.txt", "w") as fh:
                         for x1, y1, x2, y2, conf_, cls_ in dn:
                             cx = (x1 + x2) / 2 / w0
                             cy = (y1 + y2) / 2 / h0
@@ -187,6 +209,25 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
         import json
         with open(save_json, "w") as fh:
             json.dump(jdict, fh)
+        if anno_json is not None:
+            # optional COCOeval pass (reference test.py:314-330), gated on
+            # pycocotools being installed (it is not baked into this image)
+            try:
+                from pycocotools.coco import COCO
+                from pycocotools.cocoeval import COCOeval
+                anno = COCO(anno_json)
+                pred = anno.loadRes(save_json)
+                ce = COCOeval(anno, pred, "bbox")
+                ce.evaluate()
+                ce.accumulate()
+                ce.summarize()
+                out["coco_map"], out["coco_map50"] = (
+                    float(ce.stats[0]), float(ce.stats[1]))
+            except ImportError:
+                print("pycocotools not installed -- skipping COCOeval "
+                      "(predictions json written)")
+            except Exception as e:  # anno/pred mismatch: report, keep going
+                print(f"COCOeval failed: {e}")
     if verbose and names and out.get("per_class"):
         print(f"{'class':>12} {'P':>8} {'R':>8} {'mAP50':>8} {'mAP':>8}")
         print(f"{'all':>12} {out['mp']:8.4f} {out['mr']:8.4f} "

@@ -23,9 +23,31 @@ TTA_FLIPS = (None, 3, None)  # 3 = left-right (reference encoding)
 
 def scale_img_shape(h: int, w: int, ratio: float, gs: int = 32):
     nh, nw = int(h * ratio), int(w * ratio)
-    ph = math.ceil(nh / gs) * gs
-    pw = math.ceil(nw / gs) * gs
+    # pad target from the UNROUNDED product (torch_utils.py:258 computes
+    # ceil(x * ratio / gs) before the int() truncation of the resize size)
+    ph = math.ceil(h * ratio / gs) * gs
+    pw = math.ceil(w * ratio / gs) * gs
     return nh, nw, ph, pw
+
+
+def _bilinear_resize(img: jax.Array, nh: int, nw: int) -> jax.Array:
+    """torch F.interpolate(mode='bilinear', align_corners=False) parity:
+    a pure 4-tap sample at half-pixel centers with edge clamping.
+    (jax.image.resize antialiases on downscale — different math.)"""
+    b, h, w, c = img.shape
+    ys = (jnp.arange(nh, dtype=jnp.float32) + 0.5) * (h / nh) - 0.5
+    xs = (jnp.arange(nw, dtype=jnp.float32) + 0.5) * (w / nw) - 0.5
+    y0f = jnp.floor(ys)
+    x0f = jnp.floor(xs)
+    fy = (ys - y0f)[None, :, None, None]
+    fx = (xs - x0f)[None, None, :, None]
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, h - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, w - 1)
+    top = img[:, y0][:, :, x0] * (1 - fx) + img[:, y0][:, :, x1] * fx
+    bot = img[:, y1][:, :, x0] * (1 - fx) + img[:, y1][:, :, x1] * fx
+    return top * (1 - fy) + bot * fy
 
 
 def scale_img(img: jax.Array, ratio: float, gs: int = 32) -> jax.Array:
@@ -34,18 +56,23 @@ def scale_img(img: jax.Array, ratio: float, gs: int = 32) -> jax.Array:
     if ratio == 1.0:
         return img
     nh, nw, ph, pw = scale_img_shape(h, w, ratio, gs)
-    out = jax.image.resize(img, (b, nh, nw, c), method="bilinear")
+    out = _bilinear_resize(img, nh, nw)
     return jnp.pad(out, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)),
                    constant_values=0.447)
 
 
 def tta_forward(model, variables, img: jax.Array, ir: jax.Array,
-                gs: int = 32):
+                gs: int | None = None):
     """Augmented inference: returns concatenated decoded predictions
-    (B, sum_i Ni, no) in the ORIGINAL image's pixel space."""
+    (B, sum_i Ni, no) in the ORIGINAL image's pixel space.
+
+    gs defaults to the model's max Detect stride, matching the reference
+    `scale_img(..., gs=int(self.stride.max()))` (model.py:162)."""
     anchors = np.asarray(model.spec.anchors, np.float32).reshape(
         len(model.spec.anchors), -1, 2)
     strides = model.spec.detect_strides
+    if gs is None:
+        gs = int(max(strides))
     h, w = img.shape[1:3]
 
     outs = []

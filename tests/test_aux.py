@@ -165,3 +165,42 @@ def test_predictor_api():
     for d in res.dets:
         assert d.shape[1] == 6
     res.print()
+
+
+def test_tta_equivariance():
+    """De-scale/de-flip algebra (reference model.py:178-183): the identity
+    pass must equal the plain decoded forward, and the lr-flip pass must
+    equal decode(forward(flip(img))) with x mapped to w - x."""
+    from sodt_tpu.models.detect import decode_detections
+    from sodt_tpu.train.tta import TTA_SCALES, TTA_FLIPS
+
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    y = tta_forward(model, variables, x, x, gs=4)
+
+    anchors = np.asarray(model.spec.anchors, np.float32).reshape(
+        len(model.spec.anchors), -1, 2)
+    strides = model.spec.detect_strides
+    direct = decode_detections(
+        model.apply(variables, x, x, train=False)["raw"], anchors, strides)
+    n1 = direct.shape[1]
+    assert TTA_SCALES[0] == 1.0 and TTA_FLIPS[0] is None
+    np.testing.assert_allclose(np.asarray(y[:, :n1]), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # pass 2: lr-flip at 0.83 — de-flipped x must match w - x of the
+    # flipped-forward decode (de-scaled by 0.83)
+    from sodt_tpu.train.tta import scale_img
+    xf = scale_img(jnp.flip(x, axis=2), 0.83, 4)
+    dec2 = decode_detections(
+        model.apply(variables, xf, xf, train=False)["raw"], anchors,
+        strides)
+    n2 = dec2.shape[1]
+    want_x = 64 - np.asarray(dec2[..., 0]) / 0.83
+    np.testing.assert_allclose(np.asarray(y[:, n1:n1 + n2, 0]), want_x,
+                               rtol=1e-4, atol=1e-4)
+    want_y = np.asarray(dec2[..., 1]) / 0.83
+    np.testing.assert_allclose(np.asarray(y[:, n1:n1 + n2, 1]), want_y,
+                               rtol=1e-4, atol=1e-4)

@@ -361,8 +361,10 @@ def test_fused_swin_block_megakernel_matches_compose():
     ref = _compose_swin_block(*args, ws, nh, scale)
     with interpret_mode():
         out = _pallas_swin_block(*args, ws, nh, scale)
+    # kernel GELU is tanh-form (no erf in Mosaic); compose uses exact erf
+    # in f32 -> tolerance covers the <=5e-4 activation difference
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_fused_conv_mlp_tail_matches_compose():
@@ -385,7 +387,7 @@ def test_fused_conv_mlp_tail_matches_compose():
     with interpret_mode():
         out = _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=2e-3, atol=2e-3)
 
 
 def test_fused_conv_mlp_tail_grad_matches_compose():

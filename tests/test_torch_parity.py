@@ -441,3 +441,32 @@ def test_swinv2_full_encoder_parity(ref):
     for o, ro in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(o).transpose(0, 3, 1, 2), ro,
                                    atol=1e-3, rtol=1e-2)
+
+
+def test_scale_img_parity(ref):
+    """tta.scale_img vs the reference torch_utils.scale_img
+    (torch_utils.py:249-259): same resize, same ceil-to-gs pad, same
+    0.447 fill. Full-model TTA golden is impossible on the flagship: the
+    reference's own augment branch (model.py:156-184) feeds scale-0.83
+    images into a backbone hardcoded to the 512 grid
+    (backbone_vit.py:215-217) and shape-errors; TTA is only runnable on
+    the CNN configs. The de-scale/de-flip algebra is covered by
+    test_aux.test_tta_equivariance."""
+    import importlib
+    import types
+    for name in ["torchvision", "torchvision.ops"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
+    sys.modules["torchvision.ops"].nms = None
+    tu = importlib.import_module("basics.utils.torch_utils")
+    from sodt_tpu.train.tta import scale_img
+
+    torch.manual_seed(0)
+    x = torch.rand(2, 3, 96, 128)
+    for ratio, gs in ((0.83, 32), (0.67, 32), (0.83, 4), (1.0, 32)):
+        want = tu.scale_img(x, ratio, gs=gs)
+        got = scale_img(t2j(x.permute(0, 2, 3, 1)), ratio, gs=gs)
+        np.testing.assert_allclose(
+            np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
+            atol=2e-6, rtol=1e-5,
+            err_msg=f"ratio={ratio} gs={gs}")

@@ -64,7 +64,8 @@ def run_map(a, img_size: int):
                  make_eval_batches(ds, a.batch_size, img_size),
                  nc=nc, img_size=img_size, conf_thres=a.conf_thres,
                  iou_thres=a.iou_thres, names=names, verbose=a.verbose,
-                 confusion=a.plots,
+                 confusion=a.plots, augment=a.augment,
+                 anno_json=a.anno_json or None,
                  save_json=str(save_dir / "predictions.json")
                  if a.save_json else None,
                  save_txt=str(save_dir / "labels") if a.save_txt else None)
@@ -96,6 +97,11 @@ def main(argv=None):
     p.add_argument("--save-dir", default="runs/val/exp")
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--augment", action="store_true",
+                   help="test-time augmentation (reference test.py:360)")
+    p.add_argument("--anno-json", default="",
+                   help="COCO annotations json for an optional COCOeval "
+                        "pass on --save-json (reference test.py:314-330)")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     a = p.parse_args(argv)
     if a.platform:
