@@ -96,41 +96,87 @@ class VedaiDataset:
         ]
         self.ir_files = [derive_ir_path(p) for p in self.img_files]
         self.label_files = [derive_label_path(p) for p in self.img_files]
-        self.labels = self._load_labels(list_file)
+        labels, bad = self._load_labels(list_file)
+        if bad.any():
+            keep = [i for i in range(len(labels)) if not bad[i]]
+            self.img_files = [self.img_files[i] for i in keep]
+            self.ir_files = [self.ir_files[i] for i in keep]
+            self.label_files = [self.label_files[i] for i in keep]
+            labels = [labels[i] for i in keep]
+        self.labels = labels
 
     def _load_labels(self, list_file: str):
+        """Label cache build WITH the reference's integrity scan
+        (datasets.py:768-795): PIL-verify both modalities, >=10 px sides,
+        label shape/range/duplicate checks. Corrupt entries are excluded
+        from the dataset at scan time (instead of surfacing as a
+        mid-epoch decode exception) and counted in the summary line."""
         cache = Path(list_file).with_suffix(".labels.npz")
-        # key = hash of per-file (path, size, mtime) so edits that keep the
-        # total byte count can't serve stale labels (reference get_hash is
-        # size-sum only, datasets.py:40-42 — deliberately stronger here)
+        # key = hash of per-file (path, size, mtime) over labels AND both
+        # image modalities so edits that keep the total byte count can't
+        # serve stale results (reference get_hash is size-sum only,
+        # datasets.py:40-42 — deliberately stronger here)
         h = hashlib.sha256()
-        for p in self.label_files:
+        for p in (*self.label_files, *self.img_files, *self.ir_files):
             st = os.stat(p) if os.path.exists(p) else None
             h.update(f"{p}:{st.st_size if st else -1}:"
                      f"{st.st_mtime_ns if st else 0};".encode())
         key = np.frombuffer(h.digest(), np.uint8)
         if cache.exists():
             data = np.load(cache, allow_pickle=True)
-            if np.array_equal(data["key"], key):
-                return list(data["labels"])
-        labels = []
-        for lf in self.label_files:
-            if os.path.exists(lf):
-                arr = np.loadtxt(lf, ndmin=2, dtype=np.float32)
-                if arr.size == 0:
-                    arr = np.zeros((0, 5), np.float32)
-                assert arr.shape[1] == 5, f"bad label shape in {lf}"
-                assert (arr[:, 1:] <= 1.00001).all(), \
-                    f"non-normalized label in {lf}"
+            if np.array_equal(data["key"], key) and "bad" in data:
+                return list(data["labels"]), np.asarray(data["bad"], bool)
+        labels, bad = [], []
+        nf = nm = ne = nc = 0  # found, missing, empty, corrupt
+        for im, irf, lf in zip(self.img_files, self.ir_files,
+                               self.label_files):
+            ok = True
+            for f in (im, irf):
+                if not os.path.exists(f):
+                    continue  # decoded lazily; missing pairs error there
+                try:
+                    with Image.open(f) as img:
+                        img.verify()
+                        w, hh = img.size
+                        assert w > 9 and hh > 9, "image size <10 pixels"
+                except Exception as e:
+                    print(f"WARNING: corrupt image {f}: {e}")
+                    ok = False
+            arr = np.zeros((0, 5), np.float32)
+            if not os.path.exists(lf):
+                nm += 1
             else:
-                arr = np.zeros((0, 5), np.float32)
+                try:
+                    arr = np.loadtxt(lf, ndmin=2, dtype=np.float32)
+                    if arr.size == 0:
+                        arr = np.zeros((0, 5), np.float32)
+                        ne += 1
+                    else:
+                        assert arr.shape[1] == 5, "labels require 5 columns"
+                        assert (arr >= 0).all(), "negative labels"
+                        assert (arr[:, 1:] <= 1.00001).all(), \
+                            "non-normalized or out of bounds coordinates"
+                        assert np.unique(arr, axis=0).shape[0] == \
+                            arr.shape[0], "duplicate labels"
+                        nf += 1
+                except Exception as e:
+                    print(f"WARNING: corrupt label {lf}: {e}")
+                    arr = np.zeros((0, 5), np.float32)
+                    ok = False
+            if not ok:
+                nc += 1
             labels.append(arr)
+            bad.append(not ok)
+        bad = np.asarray(bad, bool)
+        if nm or ne or nc:
+            print(f"Scanned {len(labels)} items: {nf} labels found, "
+                  f"{nm} missing, {ne} empty, {nc} corrupt")
         try:
             np.savez(cache, key=key,
-                     labels=np.asarray(labels, dtype=object))
+                     labels=np.asarray(labels, dtype=object), bad=bad)
         except OSError:
             pass
-        return labels
+        return labels, bad
 
     def __len__(self):
         return len(self.img_files)

@@ -295,7 +295,13 @@ class SwinBlock(nn.Module):
         # or two Pallas kernels; only the block input/output touch HBM.
         dt = self.dtype
         on_tpu = jax.default_backend() not in ("cpu",)
-        fast = on_tpu and ws * ws <= 256 and h % ws == 0 and w % ws == 0
+        # c gate: at c=384 (flagship stage 2) the megakernel Mosaic compile
+        # was observed pathological on this rig (wedges the shared remote
+        # compile queue); stage 2 keeps the round-2 fused-attention path
+        # until a safe compile is demonstrated. Stage 1 (c=192, 4x the
+        # pixels) is where the time is.
+        fast = (on_tpu and ws * ws <= 256 and h % ws == 0 and w % ws == 0
+                and c <= 256)
         scale = (c // self.num_heads) ** -0.5
         if fast and shift == 0 and self.linear_mlp:
             from ..pallas.swin_block import fused_swin_block

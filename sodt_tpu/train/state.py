@@ -48,8 +48,14 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
-                    down_factor: int = 1, accumulate: int = 1):
+                    down_factor: int = 1, accumulate: int = 1,
+                    freeze: tuple = ()):
     """Build the jittable train step for a DetectionModel.
+
+    `freeze`: substrings of parameter paths to freeze (reference
+    Train.py:116-121 sets requires_grad=False by name substring); matching
+    params get zero grads AND zero optimizer updates, so neither the
+    gradient step nor weight decay moves them.
 
     batch: dict with
       img   (B, H, W, 3) float in [0, 1]
@@ -91,10 +97,21 @@ def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
             parts = dict(parts, sr=sr_loss)
         return total, (parts, mut["batch_stats"])
 
+    def _freeze_mask(tree):
+        from jax.tree_util import tree_map_with_path, keystr
+        return tree_map_with_path(
+            lambda p, g: (jnp.zeros_like(g)
+                          if any(f in keystr(p) for f in freeze) else g),
+            tree)
+
     def train_step(state: TrainState, batch):
         (total, (parts, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch)
+        if freeze:
+            grads = _freeze_mask(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if freeze:
+            updates = _freeze_mask(updates)
         new_params = optax.apply_updates(state.params, updates)
 
         if accumulate > 1:

@@ -68,6 +68,7 @@ class TrainConfig:
     log_every: int = 10
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
     wandb: bool = False            # W&B lifecycle (scalars + artifacts)
+    freeze: tuple = ()             # param-path substrings to freeze
 
 
 def _load_hyp(path: str) -> dict:
@@ -182,7 +183,8 @@ def train(tc: TrainConfig) -> dict:
 
     step_fn = jax.jit(make_train_step(model, tx, loss_cfg, sr=tc.sr,
                                       down_factor=tc.down_factor,
-                                      accumulate=accumulate))
+                                      accumulate=accumulate,
+                                      freeze=tuple(tc.freeze)))
 
     mesh = make_mesh()
     state = replicate_tree(state, mesh)

@@ -314,3 +314,29 @@ def test_make_train_batches_mosaic_flag_not_dead():
                                 prefer_native=False,
                                 max_labels_per_image=10))
     assert b["targets"].shape == (2, 10, 5)
+
+
+def test_integrity_scan_excludes_corrupt(tmp_path):
+    """Cache-time integrity scan (reference datasets.py:768-795): a corrupt
+    png and a duplicate-row label file are excluded at construction, not
+    surfaced as a mid-epoch decode exception."""
+    from PIL import Image as PILImage
+    from sodt_tpu.data.vedai import VedaiDataset
+    co = tmp_path / "images"; co.mkdir()
+    lb = tmp_path / "labels"; lb.mkdir()
+    names = ["a", "b", "c"]
+    for n in names:
+        PILImage.new("RGB", (32, 32)).save(co / f"{n}_co.png")
+        PILImage.new("RGB", (32, 32)).save(co / f"{n}_ir.png")
+        (lb / f"{n}.txt").write_text("0 0.5 0.5 0.2 0.2\n")
+    # corrupt b's rgb png; duplicate rows in c's label
+    (co / "b_co.png").write_bytes(b"\x89PNG\r\n\x1a\nnot a real png")
+    (lb / "c.txt").write_text("0 0.5 0.5 0.2 0.2\n0 0.5 0.5 0.2 0.2\n")
+    lst = tmp_path / "train.txt"
+    lst.write_text("".join(f"{co}/{n}_co.png\n" for n in names))
+    ds = VedaiDataset(str(lst), img_size=32)
+    assert len(ds) == 1
+    assert ds.img_files[0].endswith("a_co.png")
+    # cache hit preserves the exclusion
+    ds2 = VedaiDataset(str(lst), img_size=32)
+    assert len(ds2) == 1

@@ -251,3 +251,32 @@ def test_reference_accumulate_sums_gradients():
     ups, st = tx.update(g, st, p)   # ni=2 fires with 2 accumulated grads
     np.testing.assert_allclose(np.asarray(ups["w"]), -0.4)
     assert bool(st.just_stepped)
+
+
+def test_freeze_substring_pins_params():
+    """freeze=('stem',) must leave matching params bit-identical across
+    steps (grads AND updates masked — weight decay must not move them
+    either), while everything else trains (Train.py:116-121)."""
+    from sodt_tpu.train.loss import LossConfig
+    model, state, _, batch = _setup()
+    cfg = LossConfig(nc=model.spec.nc, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides,
+                     hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                     hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+    tx = make_optimizer(HYP, state.params, epochs=50, nb=1)
+    # pick a real param subtree name from the tiny model
+    names = list(state.params.keys())
+    frozen_key = names[0]
+    step = jax.jit(make_train_step(model, tx, cfg, freeze=(frozen_key,)))
+    before = jax.tree.map(np.asarray, state.params[frozen_key])
+    s = state
+    for _ in range(3):
+        s, _m = step(s, batch)
+    after = jax.tree.map(np.asarray, s.params[frozen_key])
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+    # other params moved
+    other = names[-1]
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - b).max()),
+        state.params[other], s.params[other]))
+    assert max(moved) > 0, f"{other} did not train"
