@@ -48,3 +48,15 @@ def replicate_tree(tree, mesh: Mesh):
     """Replicate a pytree (params / state) across the mesh."""
     sh = replicate_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def host_shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Multi-host feed path: each process passes its process-LOCAL batch
+    shard and the global sharded array is assembled without any gather
+    (`jax.make_array_from_process_local_data`). On a single process this
+    is equivalent to `shard_batch`; under `jax.distributed.initialize()`
+    each host only materializes its own slice of the global batch."""
+    sh = data_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
