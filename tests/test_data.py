@@ -340,3 +340,30 @@ def test_integrity_scan_excludes_corrupt(tmp_path):
     # cache hit preserves the exclusion
     ds2 = VedaiDataset(str(lst), img_size=32)
     assert len(ds2) == 1
+
+
+def test_dataset_tools(tmp_path):
+    """flatten_recursive / extract_boxes / autosplit (datasets.py:1334-1392)."""
+    from PIL import Image as PILImage
+    from sodt_tpu.data.tools import (flatten_recursive, extract_boxes,
+                                     autosplit)
+    images = tmp_path / "images"
+    (images / "sub").mkdir(parents=True)
+    lb = tmp_path / "labels"; lb.mkdir()
+    PILImage.new("RGB", (64, 64), (200, 30, 30)).save(images / "x_co.png")
+    PILImage.new("RGB", (64, 64)).save(images / "sub" / "y_co.png")
+    (lb / "x.txt").write_text("2 0.5 0.5 0.5 0.5\n0 0.25 0.25 0.2 0.2\n")
+
+    flat = flatten_recursive(str(images))
+    assert sorted(p.name for p in flat.iterdir()) == ["x_co.png",
+                                                      "y_co.png"]
+
+    txts = autosplit(str(images), weights=(0.5, 0.5, 0.0), seed=0)
+    listed = sum(len(t.read_text().splitlines())
+                 for t in txts if t.exists())
+    assert listed == 2  # both images assigned to some split
+
+    out = extract_boxes(str(images))
+    crops = sorted(str(p.relative_to(out)) for p in out.rglob("*.jpg"))
+    assert any(c.startswith("2/") for c in crops)
+    assert any(c.startswith("0/") for c in crops)
