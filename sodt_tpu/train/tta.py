@@ -66,13 +66,17 @@ def tta_forward(model, variables, img: jax.Array, ir: jax.Array,
     """Augmented inference: returns concatenated decoded predictions
     (B, sum_i Ni, no) in the ORIGINAL image's pixel space.
 
-    gs defaults to the model's max Detect stride, matching the reference
-    `scale_img(..., gs=int(self.stride.max()))` (model.py:162)."""
+    gs defaults to max(32, max Detect stride). The reference passes
+    `gs=int(self.stride.max())` (model.py:162), but its hardcoded stride
+    [4.] (model.py:130) makes scale_img pad to 4-multiples, which crashes
+    any network with deeper internal downsampling (e.g. SRyolo_PF's /16
+    trunk at scale 0.83: 216 px -> fractional grids) — in the reference
+    itself too. 32 is scale_img's own default and the yolov5 convention."""
     anchors = np.asarray(model.spec.anchors, np.float32).reshape(
         len(model.spec.anchors), -1, 2)
     strides = model.spec.detect_strides
     if gs is None:
-        gs = int(max(strides))
+        gs = max(32, int(max(strides)))
     h, w = img.shape[1:3]
 
     outs = []

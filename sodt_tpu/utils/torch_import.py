@@ -156,6 +156,58 @@ def import_flagship_model(state_dict: dict[str, Any], spec):
     return {"params": params, "batch_stats": stats}
 
 
+def _import_spp(sd, src, params, stats, dst):
+    for cv in ("cv1", "cv2"):
+        p, s = {}, {}
+        import_conv_bn(sd, f"{src}.{cv}", p, s, cv)
+        set_in(params, [dst, cv], p[cv])
+        set_in(stats, [dst, cv], s[cv])
+
+
+def import_unified_model(state_dict: dict[str, Any], spec,
+                         src_prefix: str = "model."):
+    """Generic reference CNN Model (unified backbone+head graph, e.g.
+    SRyolo_PF / yolo5m) -> our DetectionModel variables.
+
+    Reference layout: `model.{i}.*` per parse_model index (model.py:350+);
+    ours: `l{i}` with identical submodule names (cv1/cv2/m{k}/conv/bn) and
+    `detect.m{k}` for the Detect convs. Depth-scaled repeat counts come
+    from LayerDef.n (already resolved by the compiler)."""
+    sd = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in state_dict.items()}
+    params: dict = {}
+    stats: dict = {}
+    for ld in (*spec.backbone, *spec.head):
+        src = f"{src_prefix}{ld.i}"
+        dst = f"l{ld.i}"
+        if ld.name == "Conv":
+            import_conv_bn(sd, src, params, stats, dst)
+        elif ld.name == "Focus":
+            p, s = {}, {}
+            import_conv_bn(sd, f"{src}.conv", p, s, "conv")
+            set_in(params, [dst, "conv"], p["conv"])
+            set_in(stats, [dst, "conv"], s["conv"])
+        elif ld.name == "C3":
+            # depth-scaled bottleneck count lives in args[1] (the compiler
+            # folds the yaml 'number' column into the ctor args; ld.n is
+            # the module repeat count, always 1 for C3)
+            _import_c3(sd, src, params, stats, dst, ld.args[1])
+        elif ld.name == "SPP":
+            _import_spp(sd, src, params, stats, dst)
+        elif ld.name == "Detect":
+            for mi in range(len(spec.detect_from)):
+                set_in(params, ["detect", f"m{mi}", "kernel"],
+                       _conv(sd[f"{src}.m.{mi}.weight"]))
+                set_in(params, ["detect", f"m{mi}", "bias"],
+                       sd[f"{src}.m.{mi}.bias"])
+        elif ld.name in ("Upsample", "Concat"):
+            continue  # parameter-free
+        else:
+            raise NotImplementedError(
+                f"no importer for module {ld.name} (layer {ld.i})")
+    return {"params": params, "batch_stats": stats}
+
+
 def import_swinv2_encoder(state_dict: dict[str, Any]):
     """Reference backbone_swinv2 ImageEncoderViT -> our ImageEncoderSwinV2
     params. Layers: channel embeds (24d), chan_block norms, 1x1 patch embed,
