@@ -41,6 +41,18 @@ from .window_attention import (_pick_pack, pack_bias,
 from ..ops.activations import gelu
 
 
+def _ln_rows_vpu(x, eps=1e-5):
+    """Plain VPU-reduction LN stats for VMEM-resident rows. The MXU-stats
+    trick (_ln_rows_mxu) wins for HBM-streaming kernels where the lane
+    reduction is the bottleneck, but inside the megakernel the rows are
+    already on-chip and the trick's f32 ones-matmuls occupy the MXU at
+    its slow f32 rate between the surrounding bf16 GEMMs."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    return (x32 - mu) * jax.lax.rsqrt(var + eps)
+
+
 def _gelu_in_kernel(x32, out_dtype):
     """Tanh GELU: Mosaic has no erf/erfc lowering, so the in-kernel GELU
     is always the tanh form (max |diff| vs exact erf ~5e-4 — an order
@@ -55,13 +67,13 @@ def _gelu_in_kernel(x32, out_dtype):
 def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
                  bp_ref, lns2_ref, lnb2_ref, w1_ref, b1_ref, w2_ref,
                  b2_ref, bias_ref, out_ref, *, ws: int, nh: int,
-                 scale: float, pack: int):
+                 scale: float, pack: int, ln_stats=_ln_rows_vpu):
     strip = x_ref[0]                                  # (ws, W, C)
     rows, wdim, c = strip.shape
     flat = strip.reshape(rows * wdim, c)
     x32 = flat.astype(jnp.float32)
 
-    ln1 = (_ln_rows_mxu(flat) * lns1_ref[...]
+    ln1 = (ln_stats(flat) * lns1_ref[...]
            + lnb1_ref[...]).astype(strip.dtype)
     qkv = jax.lax.dot_general(
         ln1, wqkv_ref[...], (((1,), (0,)), ((), ())),
@@ -98,7 +110,7 @@ def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
         preferred_element_type=jnp.float32) + bp_ref[...]
     res1 = x32 + proj                                 # f32 (ws*W, C)
 
-    ln2 = (_ln_rows_mxu(res1) * lns2_ref[...]
+    ln2 = (ln_stats(res1) * lns2_ref[...]
            + lnb2_ref[...]).astype(strip.dtype)
     h1 = jax.lax.dot_general(
         ln2, w1_ref[...], (((1,), (0,)), ((), ())),
@@ -117,7 +129,7 @@ def _row2(v):
 
 def _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
                        w1, b1, w2, b2, bias, ws: int, nh: int,
-                       scale: float):
+                       scale: float, ln_stats=_ln_rows_vpu):
     b, h, w, c = x.shape
     grid = (b, h // ws)
     n = ws * ws
@@ -138,7 +150,8 @@ def _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
         pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
                      memory_space=pltpu.VMEM)]
     return pl.pallas_call(
-        functools.partial(_mega_kernel, ws=ws, nh=nh, scale=scale, pack=m),
+        functools.partial(_mega_kernel, ws=ws, nh=nh, scale=scale, pack=m,
+                          ln_stats=ln_stats),
         grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
     )(*args)
@@ -191,7 +204,7 @@ fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
 
 def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
                       w1_ref, b1_ref, wc_ref, bc_ref, w2_ref, b2_ref,
-                      out_ref):
+                      out_ref, *, ln_stats=_ln_rows_vpu):
     sx = x_ref[0]                                     # (ws, W, C)
     sa = a_ref[0]
     rows, wdim, c = sx.shape
@@ -200,7 +213,7 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
             + an_ref[0, 0].astype(jnp.float32))       # (W, C)
     t = jnp.concatenate([res1.reshape(rows * wdim, c), halo], axis=0)
 
-    ln = (_ln_rows_mxu(t) * lns_ref[...] + lnb_ref[...]).astype(sx.dtype)
+    ln = (ln_stats(t) * lns_ref[...] + lnb_ref[...]).astype(sx.dtype)
     f1 = jax.lax.dot_general(
         ln, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[...]
@@ -248,7 +261,8 @@ def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int):
     in_specs = [x_spec, x_spec, nxt, nxt] + [full(v.shape)
                                              for v in args[4:]]
     return pl.pallas_call(
-        _conv_tail_kernel, grid=grid, in_specs=in_specs, out_specs=x_spec,
+        functools.partial(_conv_tail_kernel),
+        grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
     )(*args)
 

@@ -491,11 +491,13 @@ def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     rows, wdim, c = strip.shape
     flat = strip.reshape(rows * wdim, c)
     if lns_ref is not None:
-        # pre-attention LayerNorm folded in: stats via the MXU ones-dot
-        # (layernorm._ln_rows_mxu), normalize in f32, then straight into
-        # the qkv GEMM — the normed tensor never exists in HBM
-        from .layernorm import _ln_rows_mxu
-        flat = (_ln_rows_mxu(flat) * lns_ref[...]
+        # pre-attention LayerNorm folded in: VPU-reduction stats (the
+        # rows are VMEM resident; MXU-stats ones-dots ran at the slow f32
+        # MXU rate and doubled the whole megakernel's time — see
+        # swin_block._ln_rows_vpu), then straight into the qkv GEMM —
+        # the normed tensor never exists in HBM
+        from .swin_block import _ln_rows_vpu
+        flat = (_ln_rows_vpu(flat) * lns_ref[...]
                 + lnb_ref[...]).astype(strip.dtype)
     qkv = jax.lax.dot_general(
         flat, wqkv_ref[...], (((1,), (0,)), ((), ())),
