@@ -337,12 +337,25 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
 
 
 def make_eval_batches(dataset, batch_size: int, img_size: int,
-                      max_labels_per_image: int = 60) -> Iterator[dict]:
+                      max_labels_per_image: int = 60, rect: bool = False,
+                      stride: int = 32, pad: float = 0.5) -> Iterator[dict]:
     """Deterministic eval batches: plain resize (VEDAI is square), /255.
 
     Emits per-image "stems" (file stems when the dataset has img_files,
     else dataset indices) so the COCO-format export joins on real image
-    ids like the reference (test.py:197 uses Path(p).stem)."""
+    ids like the reference (test.py:197 uses Path(p).stem).
+
+    rect=True reproduces the reference's rectangular batching
+    (datasets.py:724-747, eval pad 0.5 via test.py:112): images sorted by
+    aspect ratio, each batch letterboxed to its own ceil-to-stride shape
+    — one compile per distinct batch shape (a handful on real datasets).
+    Batches then carry "net_shape" so evaluation/export use the right
+    network-pixel space.
+    """
+    if rect:
+        yield from _rect_eval_batches(dataset, batch_size, img_size,
+                                      max_labels_per_image, stride, pad)
+        return
     from pathlib import Path
     n = len(dataset)
     files = getattr(dataset, "img_files", None)
@@ -370,4 +383,73 @@ def make_eval_batches(dataset, batch_size: int, img_size: int,
             "indices": idx, "valid": valid, "shapes": shapes,
             "stems": [(Path(files[i]).stem if files is not None else str(i))
                       for i in idx],
+        }
+
+
+def _rect_eval_batches(dataset, batch_size: int, img_size: int,
+                       m0: int, stride: int, pad: float) -> Iterator[dict]:
+    """Rectangular eval batching (reference datasets.py:724-747)."""
+    from pathlib import Path
+    from ..ops.letterbox import letterbox_image, letterbox_params
+
+    n = len(dataset)
+    files = getattr(dataset, "img_files", None)
+    if files is not None:
+        from PIL import Image
+        whs = []
+        for f in files:
+            with Image.open(f) as im:
+                whs.append(im.size)  # (w, h), header only
+        shapes0 = np.asarray([(h, w) for w, h in whs], np.float64)
+    else:
+        shapes0 = np.asarray([dataset[i][0].shape[:2] for i in range(n)],
+                             np.float64)
+    ar = shapes0[:, 0] / shapes0[:, 1]                  # h / w
+    order = np.argsort(ar)
+
+    for start in range(0, n, batch_size):
+        idx = [int(order[j]) for j in
+               range(start, min(start + batch_size, n))]
+        valid = len(idx)
+        while len(idx) < batch_size:
+            idx.append(idx[-1])
+        ari = ar[idx[:valid]]
+        shape = [1.0, 1.0]
+        if ari.max() < 1:
+            shape = [float(ari.max()), 1.0]
+        elif ari.min() > 1:
+            shape = [1.0, float(1.0 / ari.min())]
+        bh, bw = (np.ceil(np.asarray(shape) * img_size / stride
+                          + pad).astype(int) * stride).tolist()
+
+        rgbs, irs, labs, msks, shps, stems = [], [], [], [], [], []
+        for i in idx:
+            rgb, ir, lab = dataset[i]
+            h1, w1 = rgb.shape[:2]
+            rgbs.append(np.asarray(letterbox_image(
+                jnp.asarray(rgb, jnp.float32), (bh, bw), scaleup=False)))
+            irs.append(np.asarray(letterbox_image(
+                jnp.asarray(ir, jnp.float32), (bh, bw), scaleup=False)))
+            (r, _), _, (dw, dh) = letterbox_params(
+                (h1, w1), (bh, bw), scaleup=False)
+            # xywhn in the original frame -> xywhn in the letterboxed frame
+            lab = lab.copy()
+            if len(lab):
+                lab[:, 1] = (lab[:, 1] * w1 * r + dw) / bw
+                lab[:, 2] = (lab[:, 2] * h1 * r + dh) / bh
+                lab[:, 3] = lab[:, 3] * w1 * r / bw
+                lab[:, 4] = lab[:, 4] * h1 * r / bh
+            pl_, pm = pad_labels(lab, m0)
+            labs.append(pl_)
+            msks.append(pm)
+            shps.append((h1, w1))
+            stems.append(Path(files[i]).stem if files is not None
+                         else str(i))
+        yield {
+            "img": jnp.asarray(np.stack(rgbs), jnp.float32) / 255.0,
+            "ir": jnp.asarray(np.stack(irs), jnp.float32) / 255.0,
+            "targets": jnp.asarray(np.stack(labs)),
+            "tmask": jnp.asarray(np.stack(msks)),
+            "indices": idx, "valid": valid, "shapes": shps,
+            "stems": stems, "net_shape": (bh, bw),
         }

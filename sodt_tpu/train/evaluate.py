@@ -119,6 +119,8 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
         targets = np.asarray(batch["targets"])
         tmask = np.asarray(batch["tmask"])
         nvalid = batch.get("valid", dets.shape[0])
+        # rect batches carry their own network shape (test.py:112 pad 0.5)
+        net_h, net_w = batch.get("net_shape", (img_size, img_size))
         for si in range(nvalid):
             seen += 1
             d = dets[si][valid[si]]
@@ -131,7 +133,7 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 continue
             # GT to pixel xyxy at network resolution
             gt_xyxy = np.asarray(
-                xywhn2xyxy(jnp.asarray(labs[:, 1:5]), img_size, img_size))
+                xywhn2xyxy(jnp.asarray(labs[:, 1:5]), net_w, net_h))
             labels5 = np.concatenate([labs[:, 0:1], gt_xyxy], axis=1)
             correct = match_predictions(d, labels5, iouv)
             if cm is not None:
@@ -151,12 +153,12 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 # (test.py:171 scale_coords before save)
                 shapes = batch.get("shapes")
                 h0, w0 = (shapes[si] if shapes is not None
-                          else (img_size, img_size))
+                          else (net_h, net_w))
                 dn = d.copy()
-                if (h0, w0) != (img_size, img_size):
+                if (h0, w0) != (net_h, net_w):
                     from ..ops.boxes import scale_coords
                     dn[:, :4] = np.asarray(scale_coords(
-                        (img_size, img_size), jnp.asarray(d[:, :4]),
+                        (net_h, net_w), jnp.asarray(d[:, :4]),
                         (h0, w0)))
                 if save_json is not None:
                     for x1, y1, x2, y2, conf_, cls_ in dn:

@@ -367,3 +367,62 @@ def test_dataset_tools(tmp_path):
     crops = sorted(str(p.relative_to(out)) for p in out.rglob("*.jpg"))
     assert any(c.startswith("2/") for c in crops)
     assert any(c.startswith("0/") for c in crops)
+
+
+class _RectDS:
+    """Non-square toy dataset for rect batching tests."""
+
+    def __init__(self):
+        # (h, w) pairs: two wide, two tall
+        self.shapes = [(64, 128), (60, 128), (128, 64), (128, 56)]
+        self.labels = [np.array([[0, 0.5, 0.5, 0.25, 0.25]], np.float32)
+                       for _ in self.shapes]
+
+    def __len__(self):
+        return len(self.shapes)
+
+    def __getitem__(self, i):
+        h, w = self.shapes[i]
+        rgb = np.full((h, w, 3), 100, np.uint8)
+        return rgb, rgb.copy(), self.labels[i].copy()
+
+
+def test_rect_eval_batches():
+    """Rect batching (datasets.py:724-747): aspect-sorted groups, per-batch
+    ceil-to-stride shapes with pad 0.5, labels remapped into the
+    letterboxed frame, net_shape carried for evaluation."""
+    ds = _RectDS()
+    batches = list(make_eval_batches(ds, 2, 64, rect=True, stride=32))
+    assert len(batches) == 2
+    for b in batches:
+        bh, bw = b["net_shape"]
+        assert bh % 32 == 0 and bw % 32 == 0
+        assert b["img"].shape[1:3] == (bh, bw)
+    # wide images (ar < 1) batch together with bh < bw; tall the reverse
+    shapes = sorted(tuple(b["net_shape"]) for b in batches)
+    assert shapes[0][0] < shapes[0][1]   # wide batch
+    assert shapes[1][0] > shapes[1][1]   # tall batch
+    # a centered box stays centered after letterboxing
+    for b in batches:
+        t = np.asarray(b["targets"])[0]
+        m = np.asarray(b["tmask"])[0]
+        row = t[m][0]
+        np.testing.assert_allclose(row[1:3], [0.5, 0.5], atol=0.02)
+
+
+def test_rect_eval_end_to_end():
+    """evaluate() consumes rect batches (net_shape flows into GT and
+    export geometry) without shape errors."""
+    from pathlib import Path as _P
+    from sodt_tpu.models import build_model
+    from sodt_tpu.train.evaluate import evaluate
+    model = build_model(str(_P(__file__).parent / "tiny.yaml"), ch_in=3,
+                        input_mode="RGB")
+    ds = _RectDS()
+    b0 = next(make_eval_batches(ds, 2, 64, rect=True, stride=32))
+    variables = model.init(jax.random.PRNGKey(0), b0["img"], b0["ir"],
+                           train=False)
+    m = evaluate(model, variables,
+                 make_eval_batches(ds, 2, 64, rect=True, stride=32),
+                 nc=8, img_size=64)
+    assert m["seen"] == 4

@@ -61,7 +61,8 @@ def run_map(a, img_size: int):
     save_dir = Path(a.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     m = evaluate(model, variables,
-                 make_eval_batches(ds, a.batch_size, img_size),
+                 make_eval_batches(ds, a.batch_size, img_size,
+                                   rect=a.rect),
                  nc=nc, img_size=img_size, conf_thres=a.conf_thres,
                  iou_thres=a.iou_thres, names=names, verbose=a.verbose,
                  confusion=a.plots, augment=a.augment,
@@ -97,6 +98,9 @@ def main(argv=None):
     p.add_argument("--save-dir", default="runs/val/exp")
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular eval batching (datasets.py:724-747, "
+                        "pad 0.5) — one compile per distinct batch shape")
     p.add_argument("--augment", action="store_true",
                    help="test-time augmentation (reference test.py:360)")
     p.add_argument("--anno-json", default="",
