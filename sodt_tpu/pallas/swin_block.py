@@ -87,6 +87,12 @@ def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
     gp, np_ = g // pack, pack * n
     xw = qkv.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
         gp, np_, c3)
+    # Per-head python loop, deliberately: batching heads into one grouped
+    # dot needs a (gp, np_, c) -> (gp, np_, nh, hd) view, and Mosaic
+    # rejects splitting the minormost (lane) dim ("unsupported shape
+    # cast", measured 2026-08-17). Batched dot_general unrolls per batch
+    # element on Mosaic anyway, so a grouped dot would not raise the
+    # K=hd MXU utilization either.
     heads = []
     for hh in range(nh):
         q = xw[:, :, hh * hd:(hh + 1) * hd] * jnp.asarray(scale, xw.dtype)

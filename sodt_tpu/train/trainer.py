@@ -69,6 +69,7 @@ class TrainConfig:
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
     wandb: bool = False            # W&B lifecycle (scalars + artifacts)
     freeze: tuple = ()             # param-path substrings to freeze
+    save_period: int = -1          # epoch-N checkpoints (Train.py:549)
 
 
 def _load_hyp(path: str) -> dict:
@@ -269,6 +270,12 @@ def train(tc: TrainConfig) -> dict:
                 best_fitness = fit
                 save_checkpoint(save_dir / "best", state, epoch=epoch,
                                 best_fitness=best_fitness, extra=extra)
+            if (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0
+                    and epoch != tc.epochs - 1):
+                # periodic epoch snapshot (reference Train.py:549)
+                save_checkpoint(save_dir / f"epoch{epoch}", state,
+                                epoch=epoch, best_fitness=best_fitness,
+                                extra=extra)
             if logger.lifecycle.active:
                 logger.lifecycle.log_model(save_dir / "last", epoch=epoch,
                                            fitness=fit, best=is_best)

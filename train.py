@@ -52,6 +52,9 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--multi-scale", action="store_true")
     p.add_argument("--nbs", type=int, default=64,
                    help="nominal batch size for gradient accumulation")
+    p.add_argument("--save-period", type=int, default=-1,
+                   help="save an epoch checkpoint every N epochs "
+                        "(Train.py:549); -1 disables")
     p.add_argument("--freeze", default="",
                    help="comma-separated parameter-path substrings to "
                         "freeze (reference Train.py:116-121)")
@@ -76,7 +79,7 @@ def parse_args(argv=None, return_evolve: bool = False):
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
                        multi_scale=a.multi_scale, nbs=a.nbs,
-                       wandb=a.wandb,
+                       wandb=a.wandb, save_period=a.save_period,
                        freeze=tuple(s for s in a.freeze.split(",") if s))
     if return_evolve:
         return tc, a.evolve
