@@ -151,6 +151,12 @@ def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
     return img / 255.0, ir / 255.0, targets, mask
 
 
+def _f32(t):
+    """Tiles travel host->device as uint8 (4x less tunnel traffic than the
+    float32 the augment math wants); the cast runs on device under jit."""
+    return t.astype(jnp.float32) if t.dtype == jnp.uint8 else t
+
+
 def make_augment_fn(s: int, hyp: dict, use_mixup: bool,
                     mosaic_p: float = 1.0):
     fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup,
@@ -159,9 +165,148 @@ def make_augment_fn(s: int, hyp: dict, use_mixup: bool,
         # drop the secondary-mosaic operands from the jit signature so the
         # loader never decodes or transfers them (hyp mixup: 0.0 default)
         def primary_only(rgb4, ir4, lab4, msk4, key):
+            rgb4, ir4 = _f32(rgb4), _f32(ir4)
             return fn(rgb4, ir4, lab4, msk4, rgb4, ir4, lab4, msk4, key)
         return jax.jit(jax.vmap(primary_only))
-    return jax.jit(jax.vmap(fn))
+
+    def full(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key):
+        return fn(_f32(rgb4), _f32(ir4), lab4, msk4,
+                  _f32(rgb4b), _f32(ir4b), lab4b, msk4b, key)
+    return jax.jit(jax.vmap(full))
+
+
+def make_bank_augment_fn(s: int, hyp: dict, use_mixup: bool,
+                         mosaic_p: float = 1.0, jit: bool = True):
+    """Augment straight out of a device-resident uint8 tile bank.
+
+    The per-step host->device transfer is just the (B, 4) tile indices and
+    the RNG keys — the tile gather, u8->f32 cast and all augmentation
+    geometry run in one jitted program. This is the TPU answer to the
+    reference's cv2 worker pool (datasets.py:118-147): instead of hiding
+    decode latency behind processes, a dataset that fits in HBM is decoded
+    once and never crosses the host boundary again.
+
+    jit=False returns the raw callable for embedding in a larger program
+    (the trainer's epoch-scan path).
+    """
+    fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup,
+                           mosaic_p=mosaic_p)
+
+    def bank_fn(bank_rgb, bank_ir, bank_lab, bank_msk, prim, sec, keys):
+        r1 = _f32(bank_rgb[prim])          # (B, 4, s, s, 3)
+        i1 = _f32(bank_ir[prim])
+        l1, k1 = bank_lab[prim], bank_msk[prim]
+        if use_mixup:
+            r2, i2 = _f32(bank_rgb[sec]), _f32(bank_ir[sec])
+            l2, k2 = bank_lab[sec], bank_msk[sec]
+        else:
+            r2, i2, l2, k2 = r1, i1, l1, k1
+        return jax.vmap(fn)(r1, i1, l1, k1, r2, i2, l2, k2, keys)
+
+    return jax.jit(bank_fn) if jit else bank_fn
+
+
+class BankFeed:
+    """Device-resident tile bank + host-side index scheduler.
+
+    Serves two consumption protocols:
+      * per-step iterator (`_bank_train_batches`): one aug dispatch per
+        batch, drop-in for the streaming regime;
+      * whole-epoch scan (`trainer.py` fast path): `epoch_schedule()`
+        returns the full epoch's (K, B, 4) index tensor + (K, B) RNG keys
+        so gather -> augment -> train-step can run K steps inside ONE
+        jitted `lax.scan` dispatch — on a tunnel-attached dev rig this is
+        the difference between ~15 and ~50 img/s trainer throughput.
+    """
+
+    def __init__(self, dataset, batch_size: int, img_size: int, hyp: dict,
+                 *, seed: int = 0, m0: int = 30, mosaic: bool = True,
+                 sample_weights_fn=None, prefer_native: bool = True):
+        n = len(dataset)
+        if n < batch_size:
+            raise ValueError(f"dataset {n} < batch_size {batch_size}")
+        self.n = n
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.mosaic_p = float(hyp.get("mosaic", 1.0)) if mosaic else 0.0
+        self.use_mixup = hyp.get("mixup", 0.0) > 0 and self.mosaic_p > 0
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+        self.sample_weights_fn = sample_weights_fn
+        self.steps_per_epoch = max(n // batch_size, 1)
+        self.step = 0
+        self.aug = make_bank_augment_fn(img_size, hyp, self.use_mixup,
+                                        self.mosaic_p, jit=True)
+        self.aug_raw = make_bank_augment_fn(img_size, hyp, self.use_mixup,
+                                            self.mosaic_p, jit=False)
+
+        src = _make_tile_source(dataset, img_size, prefer_native,
+                                cache=False)
+        rgb_all, ir_all = src.wait(src.submit(np.arange(n)))
+        labs = np.empty((n, m0, 5), np.float32)
+        msks = np.empty((n, m0), bool)
+        for i in range(n):
+            labs[i], msks[i] = pad_labels(dataset.labels[i], m0)
+        self.banks = (jax.device_put(np.ascontiguousarray(rgb_all)),
+                      jax.device_put(np.ascontiguousarray(ir_all)),
+                      jax.device_put(labs), jax.device_put(msks))
+
+    def _order(self):
+        if self.sample_weights_fn is not None:
+            w = np.asarray(self.sample_weights_fn(), float)
+            return self.rng.choice(self.n, size=self.n, p=w / w.sum())
+        return self.rng.permutation(self.n)
+
+    def step_schedule(self):
+        """Indices + keys for ONE step (iterator protocol)."""
+        if self.step % self.steps_per_epoch == 0:
+            self._epoch_order = self._order()
+        start = (self.step % self.steps_per_epoch) * self.batch_size
+        prim, sec = _step_indices(self.rng, self._epoch_order, start,
+                                  self.batch_size, self.n, self.use_mixup)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), self.step)
+        keys = jax.random.split(key, self.batch_size)
+        self.step += 1
+        return prim, sec, keys
+
+    def epoch_schedule(self):
+        """Indices + keys for a WHOLE epoch: (K, B, 4), (K, B, 4)|None,
+        (K, B, 2). RNG consumption matches step_schedule exactly, so the
+        two protocols produce identical sample streams at the same seed."""
+        k = self.steps_per_epoch
+        prims, secs, keys = [], [], []
+        for _ in range(k):
+            p, s, kk = self.step_schedule()
+            prims.append(p)
+            secs.append(s)
+            keys.append(kk)
+        prim = np.stack(prims)
+        sec = None if secs[0] is None else np.stack(secs)
+        return prim, sec, jnp.stack(keys)
+
+    def augment_step(self):
+        """One augmented batch (iterator protocol)."""
+        prim, sec, keys = self.step_schedule()
+        img, irr, targets, tmask = self.aug(
+            *self.banks, jnp.asarray(prim),
+            None if sec is None else jnp.asarray(sec), keys)
+        return {"img": img, "ir": irr, "targets": targets, "tmask": tmask,
+                "epoch": (self.step - 1) // self.steps_per_epoch}
+
+
+def make_bank_feed(dataset, batch_size: int, img_size: int, hyp: dict,
+                   *, seed: int = 0, m0: int = 30, mosaic: bool = True,
+                   sample_weights_fn=None, prefer_native: bool = True,
+                   device_bank: bool | None = None) -> BankFeed | None:
+    """BankFeed when the dataset fits the HBM budget, else None."""
+    if device_bank is None:
+        bank_bytes = 2 * len(dataset) * img_size * img_size * 3
+        device_bank = bank_bytes <= DEVICE_BANK_MAX_GB * 2**30
+    if not device_bank:
+        return None
+    return BankFeed(dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
+                    mosaic=mosaic, sample_weights_fn=sample_weights_fn,
+                    prefer_native=prefer_native)
 
 
 def _step_indices(rng, order, start, batch_size, n, use_mixup):
@@ -228,17 +373,27 @@ def _make_tile_source(dataset, img_size, prefer_native=True, cache=True):
     return PyTileSource(RamCache(base) if cache else base)
 
 
+DEVICE_BANK_MAX_GB = 1.5  # auto device-bank gate: rgb+ir u8 tiles must fit
+
+
 def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                        *, seed: int = 0, max_labels_per_image: int = 30,
                        epochs: int | None = None, cache: bool = True,
                        mosaic: bool = True, prefer_native: bool = True,
                        sample_weights_fn=None,
                        multi_scale: bool = False,
-                       multi_scale_buckets=(0.75, 1.0, 1.25)) -> Iterator[dict]:
+                       multi_scale_buckets=(0.75, 1.0, 1.25),
+                       device_bank: bool | None = None) -> Iterator[dict]:
     """Infinite (or epochs-bounded) iterator of augmented device batches.
 
-    Pipelined: step s+1's tile decode is submitted to the tile source before
-    step s is yielded, so host decode overlaps device compute.
+    Two feed regimes, chosen automatically (`device_bank=None`):
+
+    - **device bank** (dataset's u8 tiles fit in ~1.5 GB HBM): every tile is
+      uploaded once; per-step transfer is the (B, 4) index schedule + RNG
+      keys, and gather/cast/augment run in one jitted program.
+    - **streaming**: tiles decode on host (C++ prefetch loader when built),
+      travel as uint8, and are cast/augmented on device. Pipelined: step
+      s+1's decode is submitted before step s is yielded.
     """
     n = len(dataset)
     labels = dataset.labels
@@ -247,12 +402,23 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     # mosaic= flag forces the letterbox-only path regardless of hyp
     mosaic_p = float(hyp.get("mosaic", 1.0)) if mosaic else 0.0
     use_mixup = hyp.get("mixup", 0.0) > 0 and mosaic_p > 0
-    aug = make_augment_fn(img_size, hyp, use_mixup, mosaic_p)
     m0 = max_labels_per_image
     if n < batch_size:
         raise ValueError(
             f"dataset has {n} images < batch_size {batch_size}; "
             "the epoch schedule would never yield a batch")
+    if device_bank is None:
+        bank_bytes = 2 * n * img_size * img_size * 3
+        device_bank = bank_bytes <= DEVICE_BANK_MAX_GB * 2**30
+    if device_bank:
+        yield from _bank_train_batches(
+            dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
+            epochs=epochs, mosaic_p=mosaic_p, use_mixup=use_mixup,
+            sample_weights_fn=sample_weights_fn, multi_scale=multi_scale,
+            multi_scale_buckets=multi_scale_buckets,
+            prefer_native=prefer_native)
+        return
+    aug = make_augment_fn(img_size, hyp, use_mixup, mosaic_p)
     src = _make_tile_source(dataset, img_size, prefer_native, cache)
 
     def schedule():
@@ -300,16 +466,16 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         labs, msks = pack_labels(cur_flat)
         half = batch_size * 4
         shape4 = (batch_size, 4, img_size, img_size, 3)
-        r1 = rgb[:half].reshape(shape4).astype(np.float32)
-        i1 = ir[:half].reshape(shape4).astype(np.float32)
+        r1 = rgb[:half].reshape(shape4)      # uint8 on the wire
+        i1 = ir[:half].reshape(shape4)
         l1 = labs[:half].reshape(batch_size, 4, m0, 5)
         k1 = msks[:half].reshape(batch_size, 4, m0)
 
         key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
         keys = jax.random.split(key, batch_size)
         if use_mixup:
-            r2 = rgb[half:].reshape(shape4).astype(np.float32)
-            i2 = ir[half:].reshape(shape4).astype(np.float32)
+            r2 = rgb[half:].reshape(shape4)
+            i2 = ir[half:].reshape(shape4)
             l2 = labs[half:].reshape(batch_size, 4, m0, 5)
             k2 = msks[half:].reshape(batch_size, 4, m0)
             img, irr, targets, tmask = aug(
@@ -325,6 +491,63 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
             # random /32-multiple in +/-50%, Train.py:396-402; fixed-shape
             # jit wants a small static set instead)
             f = multi_scale_buckets[int(rng.integers(len(multi_scale_buckets)))]
+            ns = int(round(img_size * f / 32) * 32)
+            if ns != img_size:
+                img = jax.image.resize(
+                    img, (img.shape[0], ns, ns, img.shape[-1]), "bilinear")
+                irr = jax.image.resize(
+                    irr, (irr.shape[0], ns, ns, irr.shape[-1]), "bilinear")
+        yield {"img": img, "ir": irr, "targets": targets, "tmask": tmask,
+               "epoch": step // steps_per_epoch}
+        step += 1
+
+
+def _bank_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
+                        *, seed: int, m0: int, epochs: int | None,
+                        mosaic_p: float, use_mixup: bool,
+                        sample_weights_fn, multi_scale: bool,
+                        multi_scale_buckets, prefer_native: bool
+                        ) -> Iterator[dict]:
+    """Device-bank feed regime (see make_train_batches docstring)."""
+    n = len(dataset)
+    labels = dataset.labels
+    rng = np.random.default_rng(seed)
+    aug = make_bank_augment_fn(img_size, hyp, use_mixup, mosaic_p)
+
+    # decode every tile once (C++ loader when built) and park it in HBM
+    src = _make_tile_source(dataset, img_size, prefer_native, cache=False)
+    rgb_all, ir_all = src.wait(src.submit(np.arange(n)))
+    bank_rgb = jax.device_put(np.ascontiguousarray(rgb_all))
+    bank_ir = jax.device_put(np.ascontiguousarray(ir_all))
+    labs = np.empty((n, m0, 5), np.float32)
+    msks = np.empty((n, m0), bool)
+    for i in range(n):
+        labs[i], msks[i] = pad_labels(labels[i], m0)
+    bank_lab = jax.device_put(labs)
+    bank_msk = jax.device_put(msks)
+
+    steps_per_epoch = max(n // batch_size, 1)
+    total_steps = None if epochs is None else epochs * steps_per_epoch
+    step = 0
+    while total_steps is None or step < total_steps:
+        if step % steps_per_epoch == 0:
+            if sample_weights_fn is not None:
+                w = np.asarray(sample_weights_fn(), float)
+                order = rng.choice(n, size=n, p=w / w.sum())
+            else:
+                order = rng.permutation(n)
+        start = (step % steps_per_epoch) * batch_size
+        prim, sec = _step_indices(rng, order, start, batch_size, n,
+                                  use_mixup)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        keys = jax.random.split(key, batch_size)
+        img, irr, targets, tmask = aug(
+            bank_rgb, bank_ir, bank_lab, bank_msk,
+            jnp.asarray(prim), None if sec is None else jnp.asarray(sec),
+            keys)
+        if multi_scale:
+            f = multi_scale_buckets[int(rng.integers(
+                len(multi_scale_buckets)))]
             ns = int(round(img_size * f / 32) * 32)
             if ns != img_size:
                 img = jax.image.resize(
@@ -376,8 +599,9 @@ def make_eval_batches(dataset, batch_size: int, img_size: int,
             msks.append(pm)
             shapes.append(rgb.shape[:2])
         yield {
-            "img": jnp.asarray(np.stack(rgbs), jnp.float32) / 255.0,
-            "ir": jnp.asarray(np.stack(irs), jnp.float32) / 255.0,
+            # uint8 on the wire; the jitted eval step casts and scales
+            "img": jnp.asarray(np.stack(rgbs)),
+            "ir": jnp.asarray(np.stack(irs)),
             "targets": jnp.asarray(np.stack(labs)),
             "tmask": jnp.asarray(np.stack(msks)),
             "indices": idx, "valid": valid, "shapes": shapes,
@@ -426,10 +650,14 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
         for i in idx:
             rgb, ir, lab = dataset[i]
             h1, w1 = rgb.shape[:2]
+            # letterbox in f32 then quantize back to u8 for the wire (the
+            # reference letterboxes u8 via cv2.resize, datasets.py:1151)
             rgbs.append(np.asarray(letterbox_image(
-                jnp.asarray(rgb, jnp.float32), (bh, bw), scaleup=False)))
+                jnp.asarray(rgb, jnp.float32), (bh, bw),
+                scaleup=False)).round().clip(0, 255).astype(np.uint8))
             irs.append(np.asarray(letterbox_image(
-                jnp.asarray(ir, jnp.float32), (bh, bw), scaleup=False)))
+                jnp.asarray(ir, jnp.float32), (bh, bw),
+                scaleup=False)).round().clip(0, 255).astype(np.uint8))
             (r, _), _, (dw, dh) = letterbox_params(
                 (h1, w1), (bh, bw), scaleup=False)
             # xywhn in the original frame -> xywhn in the letterboxed frame
@@ -446,8 +674,8 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
             stems.append(Path(files[i]).stem if files is not None
                          else str(i))
         yield {
-            "img": jnp.asarray(np.stack(rgbs), jnp.float32) / 255.0,
-            "ir": jnp.asarray(np.stack(irs), jnp.float32) / 255.0,
+            "img": jnp.asarray(np.stack(rgbs)),
+            "ir": jnp.asarray(np.stack(irs)),
             "targets": jnp.asarray(np.stack(labs)),
             "tmask": jnp.asarray(np.stack(msks)),
             "indices": idx, "valid": valid, "shapes": shps,

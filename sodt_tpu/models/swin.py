@@ -34,6 +34,7 @@ from flax import linen as nn
 
 from .norm import FusedLayerNorm, FusedAddLayerNorm
 from ..ops.activations import gelu
+from ..pallas import kernels_enabled
 
 DType = Any
 
@@ -294,7 +295,7 @@ class SwinBlock(nn.Module):
         # attention, projection, both residuals, LN2, MLP — runs in one
         # or two Pallas kernels; only the block input/output touch HBM.
         dt = self.dtype
-        on_tpu = jax.default_backend() not in ("cpu",)
+        on_tpu = kernels_enabled()
         # c gate: at c=384 (flagship stage 2) the megakernel Mosaic compile
         # was observed pathological on this rig (wedges the shared remote
         # compile queue); stage 2 keeps the round-2 fused-attention path

@@ -1,0 +1,35 @@
+"""Pallas TPU kernels and their dispatch policy.
+
+`kernels_enabled()` is the single gate every fast path consults: kernels
+dispatch on TPU-like backends unless disabled for the current trace.
+Disabling matters for (a) FLOPs accounting — XLA's cost analysis cannot
+see inside Pallas custom calls, so an honest MFU denominator lowers the
+pure-XLA composition (bench.py) — and (b) A/B timing of kernel vs XLA.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+_disabled = False
+
+
+def kernels_enabled() -> bool:
+    """True when Pallas fast paths should dispatch (TPU backend, not
+    explicitly disabled)."""
+    return (not _disabled) and jax.default_backend() not in ("cpu",)
+
+
+@contextlib.contextmanager
+def no_kernels():
+    """Force the XLA composition paths within the context (trace-time
+    switch: re-jit/lower inside the context to take effect)."""
+    global _disabled
+    prev = _disabled
+    _disabled = True
+    try:
+        yield
+    finally:
+        _disabled = prev

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import kernels_enabled
+
 
 def reference_attention_qkv(qkv, bias, mask, nw: int, nh: int,
                             scale: float):
@@ -166,7 +168,7 @@ def _fwa_fwd(qkv, bias, mask, nw, nh, scale):
 
 def _fwa_bwd(nw, nh, scale, res, g):
     qkv, bias, mask = res
-    if jax.default_backend() not in ("cpu",):
+    if kernels_enabled():
         dqkv, dbias = _pallas_attention_bwd(qkv, bias, mask, nw, nh, scale,
                                             g)
         return dqkv, dbias, None
@@ -190,7 +192,7 @@ def window_attention_core(qkv, bias, mask, nw: int, nh: int, scale: float,
     there a single big attention matrix is what the MXU wants anyway."""
     n = qkv.shape[1]
     if use_pallas is None:
-        use_pallas = (jax.default_backend() not in ("cpu",)) and n <= 256
+        use_pallas = (kernels_enabled()) and n <= 256
     if use_pallas:
         return fused_window_attention(qkv, bias, mask, nw, nh, scale)
     return reference_attention_qkv(qkv, bias, mask, nw, nh, scale)
@@ -656,7 +658,7 @@ def block_attention_nhwc(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
                          nh: int, scale: float, ln=None):
     """Dispatch: fused (LN+)qkv+attn+proj kernel on TPU for windowed
     shapes, XLA composition (with the Pallas attention core) elsewhere."""
-    if (jax.default_backend() not in ("cpu",) and ws * ws <= 256
+    if (kernels_enabled() and ws * ws <= 256
             and x.shape[1] % ws == 0 and x.shape[2] % ws == 0):
         if ln is not None:
             return fused_block_attention_ln(x, ln[0], ln[1], wqkv, bqkv,
@@ -814,7 +816,7 @@ def _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh, scale, gy):
 
 def _fwa_nhwc_bwd(ws, nh, scale, res, g):
     qkv, bias, mask = res
-    if jax.default_backend() not in ("cpu",):
+    if kernels_enabled():
         dqkv, dbias = _pallas_attention_nhwc_bwd(qkv, bias, mask, ws, nh,
                                                  scale, g)
         return dqkv, dbias, None
@@ -837,7 +839,7 @@ def window_attention_core_nhwc(qkv, bias, mask, ws: int, nh: int,
     32x32 map, N=1024 tokens) route to the flash-style global kernel — the
     XLA path materializes the f32 (B, nh, N, N) scores (3.2 GB at batch 64)
     in HBM plus head-split transposes of the 300 MB qkv tensor."""
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = kernels_enabled()
     auto = use_pallas is None
     if auto:
         use_pallas = on_tpu and ws * ws <= 256
@@ -1044,7 +1046,7 @@ def _fga_fwd(qkv, bias, nh, scale):
 def _fga_bwd(nh, scale, res, g):
     qkv, bias = res
     n = qkv.shape[1] * qkv.shape[2]
-    if (jax.default_backend() not in ("cpu",)
+    if (kernels_enabled()
             and _bwd_row_chunk(n) is not None):
         return _pallas_global_attention_bwd(qkv, bias, nh, scale, g)
     ws = qkv.shape[1]

@@ -50,6 +50,12 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
 
     @jax.jit
     def step(variables, img, ir, targets=None, tmask=None):
+        # images may arrive uint8 (4x less host->device traffic); the
+        # cast + /255 scale runs on device. dtype is static under jit.
+        if img.dtype == jnp.uint8:
+            img = img.astype(jnp.float32) / 255.0
+        if ir is not None and ir.dtype == jnp.uint8:
+            ir = ir.astype(jnp.float32) / 255.0
         # a list/tuple of variable trees = NMS ensemble (reference
         # attempt_load + Ensemble, experimental.py:98-135): per-model
         # decoded predictions concatenated before one NMS pass

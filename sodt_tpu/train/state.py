@@ -137,3 +137,34 @@ def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
         return new_state, metrics
 
     return train_step
+
+
+def make_epoch_scan(train_step: Callable, bank_aug_fn: Callable):
+    """One jitted dispatch per EPOCH: lax.scan over (gather -> augment ->
+    train_step) against a device-resident tile bank.
+
+    The reference amortizes host work with a cv2 worker pool feeding CUDA
+    streams (datasets.py:118-147); the TPU answer is to remove the host from
+    the steady state entirely. With the dataset's u8 tiles parked in HBM
+    (loader.BankFeed) the whole epoch's data dependency is the (K, B, 4)
+    index schedule + (K, B) RNG keys — everything else (tile gather,
+    u8->f32 cast, mosaic/perspective/HSV augmentation, fwd/bwd, optimizer)
+    runs device-side in ONE XLA program. On a dispatch-latency-bound rig
+    (this one: HTTP tunnel) that is the difference between ~15 and the
+    full device-rate img/s.
+
+    `train_step` and `bank_aug_fn` must be the raw (un-jitted) callables.
+    Metrics come back stacked along the leading (step) axis.
+    """
+
+    def epoch_fn(state, banks, prim, sec, keys):
+        def body(st, xs):
+            p, s_, k = xs
+            img, irr, targets, tmask = bank_aug_fn(*banks, p, s_, k)
+            return train_step(st, {"img": img, "ir": irr,
+                                   "targets": targets, "tmask": tmask})
+        return jax.lax.scan(body, state, (prim, sec, keys))
+
+    # no donation: TrainState.create aliases params/ema buffers, and XLA
+    # rejects donating the same buffer twice
+    return jax.jit(epoch_fn)

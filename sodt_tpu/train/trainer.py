@@ -23,7 +23,8 @@ import yaml
 from ..models import build_model
 from ..parallel import make_mesh, shard_batch, replicate_tree
 from ..data import SyntheticVedai, VedaiDataset
-from ..data.loader import make_train_batches, make_eval_batches
+from ..data.loader import (make_train_batches, make_eval_batches,
+                           make_bank_feed)
 from .loss import LossConfig
 from .optim import make_optimizer
 from .state import TrainState, make_train_step
@@ -66,6 +67,10 @@ class TrainConfig:
     remat: bool = False              # checkpoint encoder blocks (big batches)
     resume: str = ""
     log_every: int = 10
+    # epoch-scan feed: None = auto (on when the dataset's u8 tiles fit the
+    # HBM bank budget, the mesh is one device and multi_scale is off);
+    # True forces the bank, False forces the per-step feed
+    scan_epoch: bool | None = None
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
     wandb: bool = False            # W&B lifecycle (scalars + artifacts)
     freeze: tuple = ()             # param-path substrings to freeze
@@ -182,10 +187,11 @@ def train(tc: TrainConfig) -> dict:
         cls_pw=hyp.get("cls_pw", 1.0), obj_pw=hyp.get("obj_pw", 1.0),
         anchor_t=hyp.get("anchor_t", 4.0), fl_gamma=hyp.get("fl_gamma", 0.0))
 
-    step_fn = jax.jit(make_train_step(model, tx, loss_cfg, sr=tc.sr,
-                                      down_factor=tc.down_factor,
-                                      accumulate=accumulate,
-                                      freeze=tuple(tc.freeze)))
+    step_raw = make_train_step(model, tx, loss_cfg, sr=tc.sr,
+                               down_factor=tc.down_factor,
+                               accumulate=accumulate,
+                               freeze=tuple(tc.freeze))
+    step_fn = jax.jit(step_raw)
 
     mesh = make_mesh()
     state = replicate_tree(state, mesh)
@@ -216,26 +222,52 @@ def train(tc: TrainConfig) -> dict:
         cw = cw0 * (1 - maps_state["maps"]) ** 2 / nc
         return labels_to_image_weights(train_ds.labels, nc, cw)
 
-    batches = make_train_batches(
-        train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
-        max_labels_per_image=tc.max_labels, epochs=None,
-        sample_weights_fn=sample_weights if tc.image_weights else None,
-        multi_scale=tc.multi_scale)
+    # epoch-scan feed: whole epochs as ONE jitted dispatch (state.py
+    # make_epoch_scan) when the tile bank fits HBM; else per-step feed
+    feed = None
+    if (tc.scan_epoch is not False and not tc.multi_scale
+            and len(mesh.devices.ravel()) == 1):
+        feed = make_bank_feed(
+            train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
+            m0=tc.max_labels,
+            sample_weights_fn=sample_weights if tc.image_weights else None,
+            device_bank=True if tc.scan_epoch else None)
+    if feed is not None:
+        from .state import make_epoch_scan
+        epoch_fn = make_epoch_scan(step_raw, feed.aug_raw)
+        batches = None
+        print(f"feed: device bank ({len(train_ds)} tiles in HBM), "
+              f"epoch-scan dispatch")
+    else:
+        batches = make_train_batches(
+            train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
+            max_labels_per_image=tc.max_labels, epochs=None,
+            sample_weights_fn=sample_weights if tc.image_weights else None,
+            multi_scale=tc.multi_scale)
 
     metrics_out: dict[str, Any] = {}
     t_start = time.time()
     for epoch in range(start_epoch, tc.epochs):
         t_epoch = time.time()
-        losses = []
-        for bi in range(nb):
-            batch = next(batches)
-            batch = {k: v for k, v in batch.items() if k != "epoch"}
-            batch = shard_batch(batch, mesh)
-            state, m = step_fn(state, batch)
-            if bi % tc.log_every == 0:
-                losses.append({k: float(v) for k, v in m.items()})
-        mean_losses = {k: float(np.mean([l[k] for l in losses]))
-                       for k in losses[0]} if losses else {}
+        if feed is not None:
+            # whole epoch in one dispatch; metrics come back (nb,)-stacked
+            prim, sec, keys = feed.epoch_schedule()
+            sec_in = prim if sec is None else sec
+            state, ms = epoch_fn(state, feed.banks, jnp.asarray(prim),
+                                 jnp.asarray(sec_in), keys)
+            mean_losses = {k: float(np.mean(np.asarray(v)))
+                           for k, v in ms.items()}
+        else:
+            losses = []
+            for bi in range(nb):
+                batch = next(batches)
+                batch = {k: v for k, v in batch.items() if k != "epoch"}
+                batch = shard_batch(batch, mesh)
+                state, m = step_fn(state, batch)
+                if bi % tc.log_every == 0:
+                    losses.append({k: float(v) for k, v in m.items()})
+            mean_losses = {k: float(np.mean([l[k] for l in losses]))
+                           for k in losses[0]} if losses else {}
 
         ips = tc.batch_size * nb / (time.time() - t_epoch)
         line = (f"epoch {epoch}/{tc.epochs - 1} "

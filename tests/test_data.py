@@ -140,6 +140,62 @@ def test_eval_batches_padding():
     assert len(batches) == 3
     assert batches[-1]["valid"] == 1
     assert batches[-1]["img"].shape == (2, 64, 64, 3)
+    # images ride the host->device wire as uint8 (the eval step casts)
+    assert batches[0]["img"].dtype == jnp.uint8
+
+
+def test_device_bank_matches_streaming():
+    """The device-bank feed regime (tiles resident in HBM, per-step
+    transfer = indices + keys) must produce bit-identical batches to the
+    streaming regime at the same seed."""
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = {"mosaic": 1.0, "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7,
+           "hsv_v": 0.4, "translate": 0.1, "scale": 0.5}
+    stream = make_train_batches(ds, 2, 64, hyp, seed=3, device_bank=False)
+    bank = make_train_batches(ds, 2, 64, hyp, seed=3, device_bank=True)
+    for _ in range(5):
+        bs, bb = next(stream), next(bank)
+        np.testing.assert_allclose(np.asarray(bs["img"]),
+                                   np.asarray(bb["img"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs["targets"]),
+                                   np.asarray(bb["targets"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bs["tmask"]),
+                                      np.asarray(bb["tmask"]))
+
+
+def test_device_bank_mixup_and_mosaic_p():
+    """Bank regime composes with mixup and per-sample mosaic gating."""
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = {"mosaic": 0.5, "mixup": 0.5, "fliplr": 0.5, "translate": 0.1,
+           "scale": 0.5}
+    stream = make_train_batches(ds, 2, 64, hyp, seed=5, device_bank=False)
+    bank = make_train_batches(ds, 2, 64, hyp, seed=5, device_bank=True)
+    for _ in range(3):
+        bs, bb = next(stream), next(bank)
+        np.testing.assert_allclose(np.asarray(bs["img"]),
+                                   np.asarray(bb["img"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(bs["tmask"]),
+                                      np.asarray(bb["tmask"]))
+
+
+def test_eval_step_accepts_uint8():
+    """u8 eval batches score identically to pre-scaled f32 ones."""
+    from pathlib import Path as _P
+    from sodt_tpu.models import build_model
+    from sodt_tpu.train.evaluate import make_eval_step
+    model = build_model(str(_P(__file__).parent / "tiny.yaml"), ch_in=3,
+                        input_mode="RGB")
+    ds = SyntheticVedai(n=2, img_size=64, nc=8)
+    b = next(make_eval_batches(ds, 2, 64))
+    xf = b["img"].astype(jnp.float32) / 255.0
+    irf = b["ir"].astype(jnp.float32) / 255.0
+    variables = model.init(jax.random.PRNGKey(0), xf, irf, train=False)
+    step = make_eval_step(model, top_k=64, max_det=10)
+    d_u8, v_u8, _ = step(variables, b["img"], b["ir"])
+    d_f32, v_f32, _ = step(variables, xf, irf)
+    np.testing.assert_allclose(np.asarray(d_u8), np.asarray(d_f32),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(v_u8), np.asarray(v_f32))
 
 
 def test_anchor_metric_perfect():
@@ -420,8 +476,9 @@ def test_rect_eval_end_to_end():
                         input_mode="RGB")
     ds = _RectDS()
     b0 = next(make_eval_batches(ds, 2, 64, rect=True, stride=32))
-    variables = model.init(jax.random.PRNGKey(0), b0["img"], b0["ir"],
-                           train=False)
+    # eval batches ride uint8; the eval step casts — init casts here
+    x0 = b0["img"].astype(jnp.float32) / 255.0
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
     m = evaluate(model, variables,
                  make_eval_batches(ds, 2, 64, rect=True, stride=32),
                  nc=8, img_size=64)

@@ -280,3 +280,58 @@ def test_freeze_substring_pins_params():
         lambda a, b: float(np.abs(a - b).max()),
         state.params[other], s.params[other]))
     assert max(moved) > 0, f"{other} did not train"
+
+
+def test_epoch_scan_matches_per_step():
+    """The epoch-scan feed (ONE jitted dispatch per epoch over the device
+    tile bank) must train identically to the per-step dispatch at the
+    same seed: same sample stream, same parameter trajectory."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_bank_feed, make_train_batches
+    from sodt_tpu.train.state import make_epoch_scan
+
+    model = build_model(TINY, ch_in=3, input_mode="RGB", nc=8)
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = dict(HYP, mosaic=1.0, fliplr=0.5, translate=0.1, scale=0.5)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=True)
+    cfg = LossConfig(nc=8, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides,
+                     hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                     hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+    tx = make_optimizer(HYP, variables["params"], epochs=4, nb=4)
+    step_raw = make_train_step(model, tx, cfg)
+
+    def fresh_state():
+        return TrainState.create(variables["params"],
+                                 variables["batch_stats"], tx)
+
+    # per-step trajectory (device-bank iterator regime)
+    s_a = fresh_state()
+    jstep = jax.jit(step_raw)
+    batches = make_train_batches(ds, 2, 64, hyp, seed=7, device_bank=True)
+    losses_a = []
+    for _ in range(8):  # 2 epochs of nb=4
+        b = next(batches)
+        s_a, m = jstep(s_a, {k: b[k] for k in
+                             ("img", "ir", "targets", "tmask")})
+        losses_a.append(float(m["loss"]))
+
+    # epoch-scan trajectory
+    feed = make_bank_feed(ds, 2, 64, hyp, seed=7, device_bank=True)
+    epoch_fn = make_epoch_scan(step_raw, feed.aug_raw)
+    s_b = fresh_state()
+    losses_b = []
+    for _ in range(2):
+        prim, sec, keys = feed.epoch_schedule()
+        sec_in = prim if sec is None else sec
+        s_b, ms = epoch_fn(s_b, feed.banks, jnp.asarray(prim),
+                           jnp.asarray(sec_in), keys)
+        losses_b.extend(np.asarray(ms["loss"]).tolist())
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s_a.params, s_b.params)
+    assert int(s_b.step) == 8

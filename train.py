@@ -58,6 +58,12 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--freeze", default="",
                    help="comma-separated parameter-path substrings to "
                         "freeze (reference Train.py:116-121)")
+    p.add_argument("--scan-epoch", default=None,
+                   choices=["auto", "on", "off"],
+                   help="epoch-scan feed: whole epochs as one jitted "
+                        "dispatch over a device-resident tile bank "
+                        "(auto: on when the tiles fit ~1.5 GB HBM and "
+                        "the mesh is one device)")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     p.add_argument("--evolve", type=int, default=0, metavar="GENERATIONS",
                    help="evolve hyperparameters for N generations")
@@ -80,7 +86,9 @@ def parse_args(argv=None, return_evolve: bool = False):
                        image_weights=a.image_weights,
                        multi_scale=a.multi_scale, nbs=a.nbs,
                        wandb=a.wandb, save_period=a.save_period,
-                       freeze=tuple(s for s in a.freeze.split(",") if s))
+                       freeze=tuple(s for s in a.freeze.split(",") if s),
+                       scan_epoch={None: None, "auto": None, "on": True,
+                                   "off": False}[a.scan_epoch])
     if return_evolve:
         return tc, a.evolve
     return tc
