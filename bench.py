@@ -102,7 +102,7 @@ def main():
     # path. Round 2 benched top_k=2048; the (K, K) IoU matrix is 16x
     # smaller at 512.
     step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
-                          multi_label=False,
+                          multi_label=False, approx_topk=True,
                           top_k=a.top_k or (1024 if a.quick else 512))
 
     @jax.jit

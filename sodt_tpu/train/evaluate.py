@@ -37,7 +37,7 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
                    top_k: int = 4096, merge: bool = True,
                    multi_label: bool = True,
                    loss_cfg: LossConfig | None = None,
-                   augment: bool = False):
+                   augment: bool = False, approx_topk: bool = False):
     """Jitted (variables, img, ir[, targets, tmask]) -> (dets, valid[, loss]).
 
     augment=True runs test-time augmentation (reference test.py:360 ->
@@ -76,7 +76,7 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
         dets, valid = batched_nms(
             pred, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=multi_label, max_det=max_det, top_k=top_k,
-            merge=merge)
+            merge=merge, approx_topk=approx_topk)
         losses = None
         # val loss: single models only — for NMS ensembles the raw outputs
         # of one member would misstate the ensemble (the reference computes

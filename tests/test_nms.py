@@ -200,3 +200,22 @@ def test_batched_shapes():
                               max_det=50, top_k=128)
     assert dets.shape == (4, 50, 6)
     assert valid.shape == (4, 50)
+
+
+def test_approx_topk_matches_exact_when_candidates_fit():
+    """The serving-path approx_topk knob must be a no-op whenever the
+    candidates clearing conf_thres fit in top_k (the production regime:
+    conf 0.25 passes a few hundred boxes, k=512). On CPU approx_max_k
+    falls back to exact; the invariant still pins the wiring."""
+    rng = np.random.default_rng(11)
+    n = 2048
+    pred = rng.uniform(0, 1, (n, 13)).astype(np.float32)
+    pred[:, :4] = rng.uniform(20, 480, (n, 4))
+    pred[:, 4] = rng.uniform(0, 0.3, n)
+    pred[:100, 4] = rng.uniform(0.5, 1.0, 100)  # 100 real candidates
+    kw = dict(conf_thres=0.4, iou_thres=0.45, multi_label=False,
+              merge=True, top_k=512, max_det=50)
+    d0, v0 = single_image_nms(jnp.asarray(pred), approx_topk=False, **kw)
+    d1, v1 = single_image_nms(jnp.asarray(pred), approx_topk=True, **kw)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)

@@ -415,3 +415,109 @@ def test_fused_conv_mlp_tail_grad_matches_compose():
     for gr, gf in zip(gref, gfused):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_shift_folded_attention_matches_rolled_compose():
+    """fused attention with shift>0 (VMEM strip assembly from two x views)
+    must equal the composition on the explicitly rolled map."""
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_block_attention, _compose_block_attention)
+    b, hw, c, nh, ws, sh = 2, 16, 32, 4, 8, 2
+    x = _rand((b, hw, hw, c), 81)
+    wqkv = 0.1 * _rand((c, 3 * c), 82)
+    bqkv = 0.1 * _rand((3 * c,), 83)
+    wp = 0.1 * _rand((c, c), 84)
+    bp = 0.1 * _rand((c,), 85)
+    n = ws * ws
+    bias = _rand((nh, n, n), 86)
+    lns = 1.0 + 0.1 * _rand((c,), 87)
+    lnb = 0.1 * _rand((c,), 88)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, sh)
+    xr = jnp.roll(x, (-sh, -sh), (1, 2))
+    ref = _compose_block_attention(xr, wqkv, bqkv, wp, bp, bias, mask,
+                                   ws, nh, scale, ln=(lns, lnb))
+    with interpret_mode():
+        out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask,
+                                      ws, nh, scale, ln=(lns, lnb),
+                                      shift=sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_shift_folded_tail_matches_rolled_compose():
+    """tail kernel with shift>0 un-rolls `a` while reading: must equal the
+    composition on the explicitly rolled-back a."""
+    from sodt_tpu.pallas.swin_block import (_pallas_conv_tail,
+                                            _compose_conv_tail)
+    b, hw, c, sh = 2, 16, 32, 2
+    x = _rand((b, hw, hw, c), 91)
+    a_s = _rand((b, hw, hw, c), 92)   # attention output, shifted coords
+    lns = 1.0 + 0.1 * _rand((c,), 93)
+    lnb = 0.1 * _rand((c,), 94)
+    w1 = 0.1 * _rand((c, c), 95)
+    b1 = 0.1 * _rand((c,), 96)
+    wc = 0.1 * _rand((2, 2, c, c), 97)
+    bc = 0.1 * _rand((c,), 98)
+    w2 = 0.1 * _rand((c, c), 99)
+    b2 = 0.1 * _rand((c,), 100)
+    a_u = jnp.roll(a_s, (sh, sh), (1, 2))
+    ref = _compose_conv_tail(x, a_u, lns, lnb, w1, b1, wc, bc, w2, b2)
+    with interpret_mode():
+        out = _pallas_conv_tail(x, a_s, lns, lnb, w1, b1, wc, bc, w2, b2,
+                                8, shift=sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_shift_folded_pair_grads_match_rolled():
+    """Gradients through the shift-folded attention+tail pair equal the
+    explicit-roll composition (the custom_vjp replay applies the rolls)."""
+    from sodt_tpu.pallas import window_attention as wa
+    from sodt_tpu.pallas import swin_block as sb
+    b, hw, c, nh, ws, sh = 1, 8, 16, 2, 4, 2
+    x = _rand((b, hw, hw, c), 101)
+    wqkv = 0.1 * _rand((c, 3 * c), 102)
+    bqkv = 0.1 * _rand((3 * c,), 103)
+    wp = 0.1 * _rand((c, c), 104)
+    bp = 0.1 * _rand((c,), 105)
+    n = ws * ws
+    bias = _rand((nh, n, n), 106)
+    lns1 = 1.0 + 0.1 * _rand((c,), 107)
+    lnb1 = 0.1 * _rand((c,), 108)
+    lns2 = 1.0 + 0.1 * _rand((c,), 109)
+    lnb2 = 0.1 * _rand((c,), 110)
+    w1 = 0.1 * _rand((c, c), 111)
+    b1 = 0.1 * _rand((c,), 112)
+    wc = 0.1 * _rand((2, 2, c, c), 113)
+    bc = 0.1 * _rand((c,), 114)
+    w2 = 0.1 * _rand((c, c), 115)
+    b2 = 0.1 * _rand((c,), 116)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, sh)
+
+    def loss_folded(x_, wqkv_, wp_, w1_, wc_, w2_):
+        with interpret_mode():
+            a = wa.fused_block_attention_ln(
+                x_, lns1, lnb1, wqkv_, bqkv, wp_, bp, bias, mask, ws, nh,
+                scale, sh)
+            out = sb.fused_conv_mlp_tail(
+                x_, a, lns2, lnb2, w1_, b1, wc_, bc, w2_, b2, sh)
+        return (out ** 2).sum()
+
+    def loss_ref(x_, wqkv_, wp_, w1_, wc_, w2_):
+        xr = jnp.roll(x_, (-sh, -sh), (1, 2))
+        a = wa._compose_block_attention(xr, wqkv_, bqkv, wp_, bp, bias,
+                                        mask, ws, nh, scale,
+                                        ln=(lns1, lnb1))
+        a = jnp.roll(a, (sh, sh), (1, 2))
+        out = sb._compose_conv_tail(x_, a, lns2, lnb2, w1_, b1, wc_, bc,
+                                    w2_, b2)
+        return (out ** 2).sum()
+
+    args = (x, wqkv, wp, w1, wc, w2)
+    gf = jax.grad(loss_folded, argnums=tuple(range(6)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(6)))(*args)
+    for a_, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

@@ -63,7 +63,8 @@ def main():
             return (metrics["loss"][None], ns.step)
     else:
         estep = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
-                               multi_label=False, top_k=512)
+                               multi_label=False, top_k=512,
+                               approx_topk=True)
 
         def step(v, x, x2):
             return estep(v, x, x2)
