@@ -172,7 +172,22 @@ class WindowAttention(nn.Module):
             "relative_position_bias_table", trunc02,
             ((2 * self.window_size - 1) ** 2, nh), jnp.float32)
         rel_idx = relative_position_index(self.window_size).reshape(-1)
-        bias = table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh,N,N)
+
+        def materialize():
+            return table[rel_idx].reshape(n, n, nh).transpose(2, 0, 1)
+
+        # Serving-path bias cache: the (nh, N, N) materialization is a
+        # gather XLA re-executes every call (~1.9 ms for stage-3's
+        # 1M-row index at batch 64). Eval refreshes a "bias_cache"
+        # collection once per weight load (evaluate.cache_rel_bias) and
+        # every subsequent step reads the cached tensor; training and
+        # cache-less applies keep the differentiable gather.
+        if (self.has_variable("bias_cache", "rel_bias")
+                or self.is_mutable_collection("bias_cache")):
+            bias = self.variable("bias_cache", "rel_bias",
+                                 materialize).value
+        else:
+            bias = materialize()                              # (nh,N,N)
 
         dt = self.dtype
         wqkv, bqkv = DenseParams(3 * c, self.qkv_bias, name="qkv")(c)
@@ -310,11 +325,12 @@ class SwinBlock(nn.Module):
             lns2, lnb2 = LNParams(name="norm2")(c)
             bias, wqkv, bqkv, wp, bp = attn_mod(x, params_only=True)
             w1, b1, _, w2, b2 = mlp_mod(x, (h, w), params_only=True)
+            from ..pallas import int8_enabled
             out = fused_swin_block(
                 x, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
                 wp.astype(dt), bp.astype(dt), lns2, lnb2, w1.astype(dt),
                 b1.astype(dt), w2.astype(dt), b2.astype(dt), bias, ws,
-                self.num_heads, scale)
+                self.num_heads, scale, int8_enabled())
             return out.reshape(b, h * w, c) if tokens_in else out
         if fast and not self.linear_mlp:
             from ..pallas.window_attention import fused_block_attention_ln

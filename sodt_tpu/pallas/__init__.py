@@ -14,6 +14,7 @@ import contextlib
 import jax
 
 _disabled = False
+_int8 = False
 
 
 def kernels_enabled() -> bool:
@@ -33,3 +34,24 @@ def no_kernels():
         yield
     finally:
         _disabled = prev
+
+
+def int8_enabled() -> bool:
+    """True when the int8 serving path should dispatch: megakernel GEMMs
+    run s8xs8->s32 on the MXU (v5e: 2x the bf16 rate) with per-output-
+    channel weight scales and per-strip dynamic activation scales."""
+    return _int8 and kernels_enabled()
+
+
+@contextlib.contextmanager
+def int8_serving():
+    """Quantized-GEMM serving mode within the context (trace-time switch
+    like no_kernels: the flag is read when the model traces, so wrap BOTH
+    step construction and its first (compiling) call)."""
+    global _int8
+    prev = _int8
+    _int8 = True
+    try:
+        yield
+    finally:
+        _int8 = prev

@@ -62,6 +62,32 @@ def _gelu_in_kernel(x32, out_dtype):
     return jax.nn.gelu(x32, approximate=True)
 
 
+# ------------------------------------------------- int8 GEMM helpers
+#
+# Serving-path quantization (v5e MXU: int8 runs at 2x the bf16 rate):
+# weights per-output-channel symmetric int8 (quantized in-graph outside
+# the kernel — a few KB, one VPU pass), activations per-strip dynamic
+# symmetric int8 (absmax computed in VMEM right before the GEMM).
+
+def _q8_weight(w):
+    """(K, N) compute-dtype -> (int8 (K, N), f32 (1, N) scales)."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return q, s.reshape(1, -1)
+
+
+def _q8_dot(x32, wq_ref, ws_ref):
+    """f32 (M, K) activations -> quantize -> s8xs8->s32 MXU GEMM ->
+    dequantized f32 (M, N)."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (ws_ref[...] * sx)
+
+
 # --------------------------------------------- full block (linear MLP)
 
 def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
@@ -129,6 +155,58 @@ def _mega_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, bqkv_ref, wp_ref,
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
 
 
+def _mega_q8_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, sqkv_ref,
+                    bqkv_ref, wp_ref, sp_ref, bp_ref, lns2_ref, lnb2_ref,
+                    w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                    bias_ref, out_ref, *, ws: int, nh: int, scale: float,
+                    pack: int, ln_stats=_ln_rows_vpu):
+    """int8-GEMM variant of _mega_kernel: the four projections run
+    s8xs8->s32 on the MXU; the attention core (head_dim-16 dots, softmax)
+    stays bf16/f32. Serving-path only — the custom_vjp backward replays
+    the bf16 composition."""
+    strip = x_ref[0]                                  # (ws, W, C)
+    rows, wdim, c = strip.shape
+    flat = strip.reshape(rows * wdim, c)
+    x32 = flat.astype(jnp.float32)
+
+    ln1 = ln_stats(flat) * lns1_ref[...] + lnb1_ref[...]      # f32
+    qkv = (_q8_dot(ln1, wqkv_ref, sqkv_ref)
+           + bqkv_ref[...]).astype(strip.dtype)       # (ws*W, 3C)
+
+    g = wdim // ws
+    n = ws * ws
+    c3 = 3 * c
+    hd = c // nh
+    gp, np_ = g // pack, pack * n
+    xw = qkv.reshape(ws, g, ws, c3).transpose(1, 0, 2, 3).reshape(
+        gp, np_, c3)
+    heads = []
+    for hh in range(nh):
+        q = xw[:, :, hh * hd:(hh + 1) * hd] * jnp.asarray(scale, xw.dtype)
+        k = xw[:, :, c + hh * hd:c + (hh + 1) * hd]
+        v = xw[:, :, 2 * c + hh * hd:2 * c + (hh + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + bias_ref[hh][None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        heads.append(o.astype(strip.dtype))
+    attn = jnp.concatenate(heads, axis=-1)
+    attn = attn.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
+        rows * wdim, c).astype(jnp.float32)
+
+    res1 = x32 + _q8_dot(attn, wp_ref, sp_ref) + bp_ref[...]
+
+    ln2 = ln_stats(res1) * lns2_ref[...] + lnb2_ref[...]
+    h1 = _q8_dot(ln2, w1_ref, s1_ref) + b1_ref[...]
+    h1 = _gelu_in_kernel(h1, strip.dtype)             # f32
+    out = res1 + _q8_dot(h1, w2_ref, s2_ref) + b2_ref[...]
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
 def _row2(v):
     return v.reshape(1, -1)
 
@@ -163,6 +241,41 @@ def _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
     )(*args)
 
 
+def _pallas_swin_block_q8(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
+                          w1, b1, w2, b2, bias, ws: int, nh: int,
+                          scale: float):
+    b, h, w, c = x.shape
+    grid = (b, h // ws)
+    n = ws * ws
+    gx = w // ws
+    m = _pick_pack(n, gx)
+    bias_p = pack_bias(bias, m)
+    np_ = m * n
+
+    wqkv_q, sqkv = _q8_weight(wqkv)
+    wp_q, sp = _q8_weight(wp)
+    w1_q, s1 = _q8_weight(w1)
+    w2_q, s2 = _q8_weight(w2)
+
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    f32row = lambda v: _row2(v).astype(jnp.float32)
+    args = [x, f32row(lns1), f32row(lnb1), wqkv_q, sqkv, f32row(bqkv),
+            wp_q, sp, f32row(bp), f32row(lns2), f32row(lnb2), w1_q, s1,
+            f32row(b1), w2_q, s2, f32row(b2), bias_p]
+    in_specs = [x_spec] + [full(a.shape) for a in args[1:-1]] + [
+        pl.BlockSpec((nh, np_, np_), lambda bi, r: (0, 0, 0),
+                     memory_space=pltpu.VMEM)]
+    return pl.pallas_call(
+        functools.partial(_mega_q8_kernel, ws=ws, nh=nh, scale=scale,
+                          pack=m),
+        grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+    )(*args)
+
+
 def _compose_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
                         w1, b1, w2, b2, bias, ws, nh, scale):
     """XLA composition: off-TPU forward and the backward recompute path
@@ -177,27 +290,32 @@ def _compose_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
     return res1 + (h1 @ w2.astype(dt) + b2.astype(dt))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16, 17))
 def fused_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2,
-                     w1, b1, w2, b2, bias, ws: int, nh: int, scale: float):
+                     w1, b1, w2, b2, bias, ws: int, nh: int, scale: float,
+                     int8: bool = False):
     """Entire non-shifted Swin block (linear MLP) as one Pallas kernel.
 
     x (B, H, W, C); LN scales/biases f32 (C,); wqkv (C, 3C); wp (C, C);
     w1 (C, hidden); w2 (hidden, C) — weights in compute dtype;
-    bias (nh, N, N) f32 relative-position bias."""
-    return _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
-                              lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
+    bias (nh, N, N) f32 relative-position bias. int8=True runs the four
+    projection GEMMs quantized on the MXU (serving path; the backward
+    replays the bf16 composition, so do not train with it)."""
+    fn = _pallas_swin_block_q8 if int8 else _pallas_swin_block
+    return fn(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
+              lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
 
 
 def _fsb_fwd(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1, w2,
-             b2, bias, ws, nh, scale):
-    out = _pallas_swin_block(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
-                             lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
+             b2, bias, ws, nh, scale, int8):
+    fn = _pallas_swin_block_q8 if int8 else _pallas_swin_block
+    out = fn(x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2,
+             lnb2, w1, b1, w2, b2, bias, ws, nh, scale)
     return out, (x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1,
                  w2, b2, bias)
 
 
-def _fsb_bwd(ws, nh, scale, res, g):
+def _fsb_bwd(ws, nh, scale, int8, res, g):
     _, vjp = jax.vjp(
         lambda *a: _compose_swin_block(*a, ws, nh, scale), *res)
     return vjp(g)

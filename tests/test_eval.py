@@ -40,3 +40,37 @@ def test_evaluate_deterministic():
                   nc=3, img_size=64, top_k=256, max_det=50)
     assert m1["map50"] == m2["map50"]
     assert m1["nt"] == m2["nt"]
+
+
+def test_bias_cache_matches_gather():
+    """cache_rel_bias: eval through the cached rel-pos biases must produce
+    bit-identical detections to the per-call gather path (swin config)."""
+    from sodt_tpu.train.evaluate import cache_rel_bias, make_eval_step
+    import yaml, tempfile, os
+    cfg = {
+        "nc": 3, "depth_multiple": 1.0, "width_multiple": 1.0,
+        "anchors": [[10, 13, 16, 30, 33, 23]],
+        "backbone": [[-1, 1, "Focus", [16, 3]],
+                     [-1, 1, "Conv", [32, 3, 2]]],
+        "head": [[-1, 1, "Detect", ["nc", "anchors"]]],
+    }
+    # use the swin-bearing flagship-like tiny: SwinBlock lives in the
+    # ImageEncoderViT backbone; a direct module test is sharper
+    from sodt_tpu.models.swin import SwinBlock
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return SwinBlock(dim=32, input_resolution=(16, 16), num_heads=4,
+                             window_size=8, shift_size=0)(x)
+
+    m = M()
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 16, 16, 32)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert "bias_cache" in v  # init materializes the cache
+    y_cached = m.apply(v, x)
+    y_gather = m.apply({"params": v["params"]}, x)
+    np.testing.assert_array_equal(np.asarray(y_cached),
+                                  np.asarray(y_gather))

@@ -521,3 +521,37 @@ def test_shift_folded_pair_grads_match_rolled():
     for a_, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_fused_swin_block_int8_close_to_compose():
+    """int8 serving megakernel: the quantized projections must stay
+    within per-channel-int8 tolerance of the bf16/f32 composition."""
+    from sodt_tpu.pallas.swin_block import (_pallas_swin_block_q8,
+                                            _compose_swin_block)
+    b, hw, c, nh, ws = 2, 16, 32, 4, 8
+    hid = 4 * c
+    x = _rand((b, hw, hw, c), 121)
+    lns1 = 1.0 + 0.1 * _rand((c,), 122)
+    lnb1 = 0.1 * _rand((c,), 123)
+    lns2 = 1.0 + 0.1 * _rand((c,), 124)
+    lnb2 = 0.1 * _rand((c,), 125)
+    wqkv = 0.1 * _rand((c, 3 * c), 126)
+    bqkv = 0.1 * _rand((3 * c,), 127)
+    wp = 0.1 * _rand((c, c), 128)
+    bp = 0.1 * _rand((c,), 129)
+    w1 = 0.1 * _rand((c, hid), 130)
+    b1 = 0.1 * _rand((hid,), 131)
+    w2 = 0.1 * _rand((hid, c), 132)
+    b2 = 0.1 * _rand((c,), 133)
+    bias = _rand((nh, ws * ws, ws * ws), 134)
+    scale = (c // nh) ** -0.5
+    args = (x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1, w2,
+            b2, bias)
+    ref = _compose_swin_block(*args, ws, nh, scale)
+    with interpret_mode():
+        out = _pallas_swin_block_q8(*args, ws, nh, scale)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 0.05, f"int8 rel err {rel}"
+    # and it must NOT be trivially identical (the quantization really ran)
+    assert err.max() > 1e-6
