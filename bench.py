@@ -70,6 +70,9 @@ def main():
     p.add_argument("--iters", type=int, default=0)
     p.add_argument("--top-k", type=int, default=0, help="NMS candidate cap")
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="ALSO time the int8 serving path (quantized "
+                        "megakernel GEMMs); reported as int8_ips")
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu)")
     a = p.parse_args()
@@ -173,6 +176,32 @@ def main():
         gflops_img = (fl / batch / 1e9) if fl else None
         inf_mfu = (fl / batch * ips / peak) if (fl and peak) else None
 
+    int8_ips = None
+    if a.int8:
+        from sodt_tpu.pallas import int8_serving
+        with int8_serving():
+            # trace-time gate: fresh step + compile inside the context
+            step_q = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
+                                    multi_label=False, approx_topk=True,
+                                    top_k=a.top_k
+                                    or (1024 if a.quick else 512))
+
+            @jax.jit
+            def run_scan_q(variables, imgs_stack, irs_stack, idx):
+                def body(acc, i):
+                    img = imgs_stack[i].astype(jnp.float32) / 255.0
+                    ir = irs_stack[i].astype(jnp.float32) / 255.0
+                    dets, valid, _ = step_q(variables, img, ir)
+                    return acc + dets.sum(), None
+                acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                      idx)
+                return acc
+
+            float(run_scan_q(variables, imgs_d, irs_d, idx))  # compile
+        dt_q = _timed_window(
+            lambda _i: run_scan_q(variables, imgs_d, irs_d, idx), 1)
+        int8_ips = batch * iters / dt_q / n_chips
+
     out = {
         "metric": "VEDAI end-to-end images/sec/chip at 512px",
         "value": round(ips, 2),
@@ -181,6 +210,8 @@ def main():
         "inference_ips": round(ips, 2),
         "e2e_host_ips": round(e2e_host_ips, 2),
     }
+    if int8_ips is not None:
+        out["int8_ips"] = round(int8_ips, 2)
     if gflops_img:
         out["gflops_per_img"] = round(gflops_img, 1)
     if inf_mfu is not None:

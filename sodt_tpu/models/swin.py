@@ -343,14 +343,16 @@ class SwinBlock(nn.Module):
             # shifted row-strips in VMEM and the tail kernel un-shifts
             # while reading — no jnp.roll ever materializes in HBM
             # (4 rolls/block, ~1.6 ms each at flagship stage-1 batch 64)
+            from ..pallas import int8_enabled
+            q8 = int8_enabled()
             a = fused_block_attention_ln(
                 x, lns1, lnb1, wqkv.astype(dt), bqkv.astype(dt),
                 wp.astype(dt), bp.astype(dt), bias, mask, ws,
-                self.num_heads, scale, shift)
+                self.num_heads, scale, shift, q8)
             out = fused_conv_mlp_tail(
                 x, a, lns2, lnb2, w1.astype(dt), b1.astype(dt),
                 wc.astype(dt), bc.astype(dt), w2.astype(dt), b2.astype(dt),
-                shift)
+                shift, q8)
             return out.reshape(b, h * w, c) if tokens_in else out
 
         shortcut = x

@@ -328,7 +328,8 @@ fused_swin_block.defvjp(_fsb_fwd, _fsb_bwd)
 
 def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
                       w1_ref, b1_ref, wc_ref, bc_ref, w2_ref, b2_ref,
-                      out_ref, *, ln_stats=_ln_rows_vpu, shift: int = 0):
+                      out_ref, *, ln_stats=_ln_rows_vpu, shift: int = 0,
+                      s1_ref=None, sc_ref=None, s2_ref=None):
     sx = x_ref[0]                                     # (ws, W, C)
     rows, wdim, c = sx.shape
     if shift:
@@ -351,39 +352,72 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
             + a_halo.astype(jnp.float32))             # (W, C)
     t = jnp.concatenate([res1.reshape(rows * wdim, c), halo], axis=0)
 
-    ln = (ln_stats(t) * lns_ref[...] + lnb_ref[...]).astype(sx.dtype)
-    f1 = jax.lax.dot_general(
-        ln, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
+    ln = ln_stats(t) * lns_ref[...] + lnb_ref[...]    # f32
+    if s1_ref is not None:
+        f1 = _q8_dot(ln, w1_ref, s1_ref) + b1_ref[...]
+    else:
+        f1 = jax.lax.dot_general(
+            ln.astype(sx.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
     # bottom edge: the reference pads the fc1 OUTPUT with zeros before the
     # VALID conv — zero the halo rows on the last strip (fc1(0) != 0)
     last = pl.program_id(1) == pl.num_programs(1) - 1
     flag = jnp.where(last, 0.0, 1.0).astype(jnp.float32)
     f1 = jnp.concatenate(
         [f1[:rows * wdim], f1[rows * wdim:] * flag], axis=0)
-    f1 = f1.astype(sx.dtype).reshape(rows + 1, wdim, c)
     # right edge zero column (reference right-pad)
-    f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 0)))
-
-    acc = None
-    for di in (0, 1):
-        for dj in (0, 1):
-            patch = f1[di:di + rows, dj:dj + wdim].reshape(rows * wdim, c)
-            term = jax.lax.dot_general(
-                patch, wc_ref[di, dj], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = term if acc is None else acc + term
-    acc = acc + bc_ref[...]
-    y = _gelu_in_kernel(acc, sx.dtype).astype(sx.dtype)
-    z = jax.lax.dot_general(
-        y, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[...]
+    if sc_ref is not None:
+        # quantize the fc1 output ONCE; the four conv taps reuse it
+        f1 = f1.reshape(rows + 1, wdim, c)
+        sf = jnp.maximum(jnp.max(jnp.abs(f1)), 1e-8) / 127.0
+        f1q = jnp.clip(jnp.round(f1 / sf), -127, 127).astype(jnp.int8)
+        f1q = jnp.pad(f1q, ((0, 0), (0, 1), (0, 0)))
+        acc = None
+        for di in (0, 1):
+            for dj in (0, 1):
+                patch = f1q[di:di + rows, dj:dj + wdim].reshape(
+                    rows * wdim, c)
+                term = jax.lax.dot_general(
+                    patch, wc_ref[di, dj], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc = term if acc is None else acc + term
+        acc = acc.astype(jnp.float32) * (sc_ref[...] * sf) + bc_ref[...]
+    else:
+        f1 = f1.astype(sx.dtype).reshape(rows + 1, wdim, c)
+        f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 0)))
+        acc = None
+        for di in (0, 1):
+            for dj in (0, 1):
+                patch = f1[di:di + rows, dj:dj + wdim].reshape(
+                    rows * wdim, c)
+                term = jax.lax.dot_general(
+                    patch, wc_ref[di, dj], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = term if acc is None else acc + term
+        acc = acc + bc_ref[...]
+    y = _gelu_in_kernel(acc.astype(jnp.float32), sx.dtype)
+    if s2_ref is not None:
+        z = _q8_dot(y, w2_ref, s2_ref) + b2_ref[...]
+    else:
+        z = jax.lax.dot_general(
+            y.astype(sx.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[...]
     out = res1.reshape(rows * wdim, c) + z
     out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
 
 
+def _q8_weight_conv(wc):
+    """(2, 2, C, C) conv kernel -> int8 with ONE per-output-channel scale
+    shared across the four taps (their int32 partial sums are added
+    before dequantization, so the scales must match)."""
+    w32 = wc.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+    return q, s.reshape(1, -1)
+
+
 def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int,
-                      shift: int = 0):
+                      shift: int = 0, int8: bool = False):
     b, h, w, c = x.shape
     nr = h // ws
     grid = (b, nr)
@@ -402,10 +436,22 @@ def _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws: int,
     f32row = lambda v: _row2(v).astype(jnp.float32)
     args = [x, a, x, a, f32row(lns), f32row(lnb), w1, _row2(b1), wc,
             _row2(bc), w2, _row2(b2)]
+    kern = functools.partial(_conv_tail_kernel, shift=shift)
+    if int8:
+        w1q, s1 = _q8_weight(w1)
+        wcq, sc = _q8_weight_conv(wc)
+        w2q, s2 = _q8_weight(w2)
+        args[6], args[8], args[10] = w1q, wcq, w2q
+        args += [s1, sc, s2]
+
+        def kern(*refs):  # noqa: F811 — int8 ref plumbing
+            _conv_tail_kernel(*refs[:12], refs[-1], shift=shift,
+                              s1_ref=refs[12], sc_ref=refs[13],
+                              s2_ref=refs[14])
     in_specs = [x_spec, x_spec, nxt, prv if shift else nxt] + [
         full(v.shape) for v in args[4:]]
     return pl.pallas_call(
-        functools.partial(_conv_tail_kernel, shift=shift),
+        kern,
         grid=grid, in_specs=in_specs, out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
     )(*args)
@@ -424,9 +470,9 @@ def _compose_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2):
     return res1 + (y @ w2.astype(dt) + b2.astype(dt))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_conv_mlp_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
-                        shift: int = 0):
+                        shift: int = 0, int8: bool = False):
     """Residual + LN2 + fc1 + 2x2 conv + GELU + fc2 + residual, fused.
 
     x, a (B, H, W, C): block input and attention output; wc (2, 2, C, C)
@@ -434,10 +480,11 @@ def fused_conv_mlp_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
     caller's window size). shift > 0: `a` is in SHIFTED coordinates
     (fused_block_attention_ln shift>0 output) and is un-rolled by
     (+shift, +shift) while reading — equivalent to
-    fused_conv_mlp_tail(x, roll(a, (shift, shift), (1, 2)), ..., 0)."""
+    fused_conv_mlp_tail(x, roll(a, (shift, shift), (1, 2)), ..., 0).
+    int8=True quantizes fc1/conv/fc2 (serving path)."""
     ws = _tail_ws(x.shape[1])
     return _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, ws,
-                             shift)
+                             shift, int8)
 
 
 def _tail_ws(h: int, target: int = 8) -> int:
@@ -451,13 +498,13 @@ def _tail_ws(h: int, target: int = 8) -> int:
     return 1
 
 
-def _fct_fwd(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, shift):
+def _fct_fwd(x, a, lns, lnb, w1, b1, wc, bc, w2, b2, shift, int8):
     out = _pallas_conv_tail(x, a, lns, lnb, w1, b1, wc, bc, w2, b2,
-                            _tail_ws(x.shape[1]), shift)
+                            _tail_ws(x.shape[1]), shift, int8)
     return out, (x, a, lns, lnb, w1, b1, wc, bc, w2, b2)
 
 
-def _fct_bwd(shift, res, g):
+def _fct_bwd(shift, int8, res, g):
     def f(x_, a_, *rest):
         ar = (jnp.roll(a_, (shift, shift), (1, 2)) if shift else a_)
         return _compose_conv_tail(x_, ar, *rest)

@@ -488,7 +488,8 @@ def _pallas_attention_nhwc(qkv, bias, mask, ws: int, nh: int, scale: float,
 def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
                        out_ref, *, ws: int, nh: int, scale: float,
                        pack: int, mask_ref=None, lns_ref=None,
-                       lnb_ref=None, xn_ref=None, shift: int = 0):
+                       lnb_ref=None, xn_ref=None, shift: int = 0,
+                       sqkv_ref=None, sp_ref=None):
     strip = x_ref[0]                         # (ws, W, C)
     if shift:
         # shifted-window read: assemble the cyclically (-shift, -shift)
@@ -515,9 +516,14 @@ def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
         from .swin_block import _ln_rows_vpu
         flat = (_ln_rows_vpu(flat) * lns_ref[...]
                 + lnb_ref[...]).astype(strip.dtype)
-    qkv = jax.lax.dot_general(
-        flat, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if sqkv_ref is not None:
+        # int8 serving: qkv projection as a quantized MXU GEMM
+        from .swin_block import _q8_dot
+        qkv = _q8_dot(flat.astype(jnp.float32), wqkv_ref, sqkv_ref)
+    else:
+        qkv = jax.lax.dot_general(
+            flat, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[...]).astype(strip.dtype)   # (rows*W, 3C)
 
     g = wdim // ws
@@ -546,16 +552,20 @@ def _block_attn_kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
     attn = jnp.concatenate(heads, axis=-1)            # (G/m, m*N, C)
     attn = attn.reshape(g, ws, ws, c).transpose(1, 0, 2, 3).reshape(
         rows * wdim, c)
-    y = jax.lax.dot_general(
-        attn, wp_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if sp_ref is not None:
+        from .swin_block import _q8_dot
+        y = _q8_dot(attn.astype(jnp.float32), wp_ref, sp_ref)
+    else:
+        y = jax.lax.dot_general(
+            attn, wp_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     y = y + bp_ref[...]
     out_ref[0] = y.astype(out_ref.dtype).reshape(rows, wdim, c)
 
 
 def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
                             nh: int, scale: float, ln=None,
-                            shift: int = 0):
+                            shift: int = 0, int8: bool = False):
     b, h, w, c = x.shape
     nr = h // ws
     grid = (b, nr)
@@ -564,6 +574,11 @@ def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
     m = _pick_pack(n, gx)
     np_ = m * n
     bias_p = pack_bias(bias, m)
+
+    if int8:
+        from .swin_block import _q8_weight
+        wqkv, sqkv = _q8_weight(wqkv)
+        wp, sp = _q8_weight(wp)
 
     x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, r: (bi, r, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -576,6 +591,10 @@ def _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
                 full(wp.shape), full((1, bp.size)), bias_spec]
     names = ["x_ref", "wqkv_ref", "bqkv_ref", "wp_ref", "bp_ref",
              "bias_ref"]
+    if int8:
+        args += [sqkv, sp]
+        in_specs += [full(sqkv.shape), full(sp.shape)]
+        names += ["sqkv_ref", "sp_ref"]
     if shift:
         # second view of x: the next row-strip (cyclic) for the in-VMEM
         # shifted-window assembly
@@ -653,10 +672,10 @@ def _fba_bwd(ws, nh, scale, res, g):
 fused_block_attention.defvjp(_fba_fwd, _fba_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13))
 def fused_block_attention_ln(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask,
                              ws: int, nh: int, scale: float,
-                             shift: int = 0):
+                             shift: int = 0, int8: bool = False):
     """LN + qkv projection + W-MSA + output projection, one Pallas kernel.
 
     shift > 0 computes on the cyclically (-shift, -shift) rolled map
@@ -664,19 +683,23 @@ def fused_block_attention_ln(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask,
     its shifted row-strip in VMEM from two views of x (this strip and the
     next, wrapped). The output stays in SHIFTED coordinates — pair with
     `fused_conv_mlp_tail(..., shift=shift)`, which un-shifts while
-    reading. Equivalent to fused_block_attention_ln(roll(x), ..., 0)."""
+    reading. Equivalent to fused_block_attention_ln(roll(x), ..., 0).
+    int8=True quantizes the qkv/proj GEMMs (serving path; backward
+    replays the bf16 composition)."""
     return _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                   nh, scale, ln=(lns, lnb), shift=shift)
+                                   nh, scale, ln=(lns, lnb), shift=shift,
+                                   int8=int8)
 
 
 def _fbal_fwd(x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale,
-              shift):
+              shift, int8):
     out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                  nh, scale, ln=(lns, lnb), shift=shift)
+                                  nh, scale, ln=(lns, lnb), shift=shift,
+                                  int8=int8)
     return out, (x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask)
 
 
-def _fbal_bwd(ws, nh, scale, shift, res, g):
+def _fbal_bwd(ws, nh, scale, shift, int8, res, g):
     x, lns, lnb, wqkv, bqkv, wp, bp, bias, mask = res
 
     def f(x_, s_, b_, *a):

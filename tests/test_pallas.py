@@ -555,3 +555,48 @@ def test_fused_swin_block_int8_close_to_compose():
     assert rel < 0.05, f"int8 rel err {rel}"
     # and it must NOT be trivially identical (the quantization really ran)
     assert err.max() > 1e-6
+
+
+def test_int8_shifted_pair_close_to_compose():
+    """int8 variants of the shift-folded attention + conv tail stay within
+    quantization tolerance of the bf16/f32 composition."""
+    from sodt_tpu.pallas import window_attention as wa
+    from sodt_tpu.pallas import swin_block as sb
+    b, hw, c, nh, ws, sh = 1, 16, 32, 4, 8, 2
+    x = _rand((b, hw, hw, c), 141)
+    wqkv = 0.1 * _rand((c, 3 * c), 142)
+    bqkv = 0.1 * _rand((3 * c,), 143)
+    wp = 0.1 * _rand((c, c), 144)
+    bp = 0.1 * _rand((c,), 145)
+    bias = _rand((nh, ws * ws, ws * ws), 146)
+    lns1 = 1.0 + 0.1 * _rand((c,), 147)
+    lnb1 = 0.1 * _rand((c,), 148)
+    lns2 = 1.0 + 0.1 * _rand((c,), 149)
+    lnb2 = 0.1 * _rand((c,), 150)
+    w1 = 0.1 * _rand((c, c), 151)
+    b1 = 0.1 * _rand((c,), 152)
+    wc = 0.1 * _rand((2, 2, c, c), 153)
+    bc = 0.1 * _rand((c,), 154)
+    w2 = 0.1 * _rand((c, c), 155)
+    b2 = 0.1 * _rand((c,), 156)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, sh)
+
+    xr = jnp.roll(x, (-sh, -sh), (1, 2))
+    a_ref = wa._compose_block_attention(xr, wqkv, bqkv, wp, bp, bias,
+                                        mask, ws, nh, scale,
+                                        ln=(lns1, lnb1))
+    out_ref = sb._compose_conv_tail(x, jnp.roll(a_ref, (sh, sh), (1, 2)),
+                                    lns2, lnb2, w1, b1, wc, bc, w2, b2)
+    with interpret_mode():
+        a_q = wa._pallas_block_attention(x, wqkv, bqkv, wp, bp, bias,
+                                         mask, ws, nh, scale,
+                                         ln=(lns1, lnb1), shift=sh,
+                                         int8=True)
+        out_q = sb._pallas_conv_tail(x, a_q, lns2, lnb2, w1, b1, wc, bc,
+                                     w2, b2, 8, shift=sh, int8=True)
+    for got, ref in ((a_q, a_ref), (out_q, out_ref)):
+        err = np.abs(np.asarray(got) - np.asarray(ref))
+        rel = err.max() / np.abs(np.asarray(ref)).max()
+        assert rel < 0.05, f"int8 rel err {rel}"
+        assert err.max() > 1e-6  # quantization really ran
