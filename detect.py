@@ -111,8 +111,11 @@ def main(argv=None):
         x0 = jnp.zeros((1, a.img_size, a.img_size, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
 
+    # serving settings: approx top-k is exact whenever the candidates
+    # clearing conf_thres fit in top_k (the detect-CLI conf regime)
     step = make_eval_step(model, conf_thres=a.conf_thres,
-                          iou_thres=a.iou_thres, multi_label=False)
+                          iou_thres=a.iou_thres, multi_label=False,
+                          top_k=512, approx_topk=True)
     save_dir = Path(a.save_dir)
     (save_dir / "labels").mkdir(parents=True, exist_ok=True)
 

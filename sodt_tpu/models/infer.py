@@ -80,10 +80,13 @@ class Predictor:
         self.variables = variables
         self.img_size = img_size
         self.names = names or [str(i) for i in range(model.spec.nc)]
+        # serving settings (autoShape parity is conf 0.25): approx top-k
+        # is exact whenever the conf survivors fit in top_k
         self._step = make_eval_step(model, conf_thres=self.conf,
                                     iou_thres=self.iou,
                                     max_det=self.max_det,
-                                    multi_label=False)
+                                    multi_label=False,
+                                    top_k=512, approx_topk=True)
 
     def _to_array(self, item):
         if isinstance(item, (str, Path)):
