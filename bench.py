@@ -104,16 +104,29 @@ def main():
     # keeps its own top_k=4096 in evaluate() — this cap is the serving
     # path. Round 2 benched top_k=2048; the (K, K) IoU matrix is 16x
     # smaller at 512.
-    step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
-                          multi_label=False, approx_topk=True,
-                          top_k=a.top_k or (1024 if a.quick else 512))
+    def build_steps(approx):
+        step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45,
+                              multi_label=False, approx_topk=approx,
+                              top_k=a.top_k or (1024 if a.quick else 512))
 
-    @jax.jit
-    def step_u8(variables, img_u8, ir_u8):
-        img = img_u8.astype(jnp.float32) / 255.0
-        ir = ir_u8.astype(jnp.float32) / 255.0
-        dets, valid, _ = step(variables, img, ir)
-        return dets
+        @jax.jit
+        def step_u8(variables, img_u8, ir_u8):
+            img = img_u8.astype(jnp.float32) / 255.0
+            ir = ir_u8.astype(jnp.float32) / 255.0
+            dets, valid, _ = step(variables, img, ir)
+            return dets
+
+        @jax.jit
+        def run_scan(variables, imgs_stack, irs_stack, idx):
+            def body(acc, i):
+                img = imgs_stack[i].astype(jnp.float32) / 255.0
+                ir = irs_stack[i].astype(jnp.float32) / 255.0
+                dets, valid, _ = step(variables, img, ir)
+                return acc + dets.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), idx)
+            return acc
+
+        return step_u8, run_scan
 
     rng = np.random.default_rng(0)
     n_inputs = 4  # rotate inputs so no runtime memoization can hide work
@@ -123,18 +136,14 @@ def main():
     imgs_d = jnp.stack([jnp.asarray(x) for x in imgs])  # (4, B, H, W, 3) u8
     irs_d = jnp.stack([jnp.asarray(x) for x in irs])
 
-    @jax.jit
-    def run_scan(variables, imgs_stack, irs_stack, idx):
-        def body(acc, i):
-            img = imgs_stack[i].astype(jnp.float32) / 255.0
-            ir = irs_stack[i].astype(jnp.float32) / 255.0
-            dets, valid, _ = step(variables, img, ir)
-            return acc + dets.sum(), None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), idx)
-        return acc
-
     idx = jnp.arange(iters, dtype=jnp.int32) % n_inputs
-    float(run_scan(variables, imgs_d, irs_d, idx))  # compile
+    try:
+        step_u8, run_scan = build_steps(True)
+        float(run_scan(variables, imgs_d, irs_d, idx))  # compile
+    except Exception:
+        # approx_max_k unavailable on this lowering path: exact top_k
+        step_u8, run_scan = build_steps(False)
+        float(run_scan(variables, imgs_d, irs_d, idx))
 
     dt = _timed_window(
         lambda _i: run_scan(variables, imgs_d, irs_d, idx), 1)
