@@ -413,7 +413,7 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     if device_bank:
         yield from _bank_train_batches(
             dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
-            epochs=epochs, mosaic_p=mosaic_p, use_mixup=use_mixup,
+            epochs=epochs, mosaic=mosaic,
             sample_weights_fn=sample_weights_fn, multi_scale=multi_scale,
             multi_scale_buckets=multi_scale_buckets,
             prefer_native=prefer_native)
@@ -504,59 +504,30 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
 
 def _bank_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                         *, seed: int, m0: int, epochs: int | None,
-                        mosaic_p: float, use_mixup: bool,
-                        sample_weights_fn, multi_scale: bool,
-                        multi_scale_buckets, prefer_native: bool
-                        ) -> Iterator[dict]:
-    """Device-bank feed regime (see make_train_batches docstring)."""
-    n = len(dataset)
-    labels = dataset.labels
-    rng = np.random.default_rng(seed)
-    aug = make_bank_augment_fn(img_size, hyp, use_mixup, mosaic_p)
-
-    # decode every tile once (C++ loader when built) and park it in HBM
-    src = _make_tile_source(dataset, img_size, prefer_native, cache=False)
-    rgb_all, ir_all = src.wait(src.submit(np.arange(n)))
-    bank_rgb = jax.device_put(np.ascontiguousarray(rgb_all))
-    bank_ir = jax.device_put(np.ascontiguousarray(ir_all))
-    labs = np.empty((n, m0, 5), np.float32)
-    msks = np.empty((n, m0), bool)
-    for i in range(n):
-        labs[i], msks[i] = pad_labels(labels[i], m0)
-    bank_lab = jax.device_put(labs)
-    bank_msk = jax.device_put(msks)
-
-    steps_per_epoch = max(n // batch_size, 1)
-    total_steps = None if epochs is None else epochs * steps_per_epoch
-    step = 0
-    while total_steps is None or step < total_steps:
-        if step % steps_per_epoch == 0:
-            if sample_weights_fn is not None:
-                w = np.asarray(sample_weights_fn(), float)
-                order = rng.choice(n, size=n, p=w / w.sum())
-            else:
-                order = rng.permutation(n)
-        start = (step % steps_per_epoch) * batch_size
-        prim, sec = _step_indices(rng, order, start, batch_size, n,
-                                  use_mixup)
-        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-        keys = jax.random.split(key, batch_size)
-        img, irr, targets, tmask = aug(
-            bank_rgb, bank_ir, bank_lab, bank_msk,
-            jnp.asarray(prim), None if sec is None else jnp.asarray(sec),
-            keys)
+                        mosaic: bool, sample_weights_fn,
+                        multi_scale: bool, multi_scale_buckets,
+                        prefer_native: bool) -> Iterator[dict]:
+    """Device-bank feed regime (see make_train_batches docstring): a thin
+    iterator over BankFeed, so the per-step and epoch-scan protocols share
+    one scheduler/augment implementation. The multi-scale bucket draw uses
+    the feed's Generator at the same sequence point as the streaming
+    regime, keeping the sample streams identical at the same seed."""
+    feed = BankFeed(dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
+                    mosaic=mosaic, sample_weights_fn=sample_weights_fn,
+                    prefer_native=prefer_native)
+    total = None if epochs is None else epochs * feed.steps_per_epoch
+    while total is None or feed.step < total:
+        b = feed.augment_step()
         if multi_scale:
-            f = multi_scale_buckets[int(rng.integers(
+            f = multi_scale_buckets[int(feed.rng.integers(
                 len(multi_scale_buckets)))]
             ns = int(round(img_size * f / 32) * 32)
             if ns != img_size:
-                img = jax.image.resize(
-                    img, (img.shape[0], ns, ns, img.shape[-1]), "bilinear")
-                irr = jax.image.resize(
-                    irr, (irr.shape[0], ns, ns, irr.shape[-1]), "bilinear")
-        yield {"img": img, "ir": irr, "targets": targets, "tmask": tmask,
-               "epoch": step // steps_per_epoch}
-        step += 1
+                for k in ("img", "ir"):
+                    v = b[k]
+                    b[k] = jax.image.resize(
+                        v, (v.shape[0], ns, ns, v.shape[-1]), "bilinear")
+        yield b
 
 
 def make_eval_batches(dataset, batch_size: int, img_size: int,
