@@ -139,7 +139,8 @@ def make_train_step(model, tx, loss_cfg: LossConfig, *, sr: bool = False,
     return train_step
 
 
-def make_epoch_scan(train_step: Callable, bank_aug_fn: Callable):
+def make_epoch_scan(train_step: Callable, bank_aug_fn: Callable,
+                    mesh=None):
     """One jitted dispatch per EPOCH: lax.scan over (gather -> augment ->
     train_step) against a device-resident tile bank.
 
@@ -155,14 +156,30 @@ def make_epoch_scan(train_step: Callable, bank_aug_fn: Callable):
 
     `train_step` and `bank_aug_fn` must be the raw (un-jitted) callables.
     Metrics come back stacked along the leading (step) axis.
+
+    `mesh`: on a multi-device mesh the bank is replicated and the
+    augmented batch gets a `P("data")` sharding constraint inside the
+    scan body, so the train step runs data-parallel exactly like the
+    per-step `shard_batch` path (XLA inserts the gradient/BN collectives).
     """
+    if mesh is not None and len(mesh.devices.ravel()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+        sh = NamedSharding(mesh, SP("data"))
+
+        def constrain(t):
+            return jax.lax.with_sharding_constraint(t, sh)
+    else:
+        def constrain(t):
+            return t
 
     def epoch_fn(state, banks, prim, sec, keys):
         def body(st, xs):
             p, s_, k = xs
             img, irr, targets, tmask = bank_aug_fn(*banks, p, s_, k)
-            return train_step(st, {"img": img, "ir": irr,
-                                   "targets": targets, "tmask": tmask})
+            batch = {"img": constrain(img), "ir": constrain(irr),
+                     "targets": constrain(targets),
+                     "tmask": constrain(tmask)}
+            return train_step(st, batch)
         return jax.lax.scan(body, state, (prim, sec, keys))
 
     # no donation: TrainState.create aliases params/ema buffers, and XLA

@@ -223,10 +223,13 @@ def train(tc: TrainConfig) -> dict:
         return labels_to_image_weights(train_ds.labels, nc, cw)
 
     # epoch-scan feed: whole epochs as ONE jitted dispatch (state.py
-    # make_epoch_scan) when the tile bank fits HBM; else per-step feed
+    # make_epoch_scan) when the tile bank fits HBM; else per-step feed.
+    # Multi-device meshes shard the augmented batch inside the scan body
+    # (sharding constraint), so the batch must split evenly.
+    n_dev = len(mesh.devices.ravel())
     feed = None
     if (tc.scan_epoch is not False and not tc.multi_scale
-            and len(mesh.devices.ravel()) == 1):
+            and tc.batch_size % n_dev == 0):
         feed = make_bank_feed(
             train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
             m0=tc.max_labels,
@@ -234,10 +237,12 @@ def train(tc: TrainConfig) -> dict:
             device_bank=True if tc.scan_epoch else None)
     if feed is not None:
         from .state import make_epoch_scan
-        epoch_fn = make_epoch_scan(step_raw, feed.aug_raw)
+        if n_dev > 1:
+            feed.banks = replicate_tree(feed.banks, mesh)
+        epoch_fn = make_epoch_scan(step_raw, feed.aug_raw, mesh=mesh)
         batches = None
         print(f"feed: device bank ({len(train_ds)} tiles in HBM), "
-              f"epoch-scan dispatch")
+              f"epoch-scan dispatch over {n_dev} device(s)")
     else:
         batches = make_train_batches(
             train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,

@@ -201,3 +201,50 @@ def test_flagship_sharded_eval_matches_single_device():
     for s1, s2 in zip(single, sharded):
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_epoch_scan_sharded_matches_single_device():
+    """The epoch-scan feed on an 8-device mesh (bank replicated, batch
+    sharding-constrained inside the scan body) must produce the same
+    parameter trajectory as the same scan on one device."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_bank_feed
+    from sodt_tpu.train.state import make_epoch_scan
+
+    model = build_model(str(Path(__file__).parent / "tiny.yaml"),
+                        ch_in=3, input_mode="RGB", nc=8)
+    ds = SyntheticVedai(n=16, img_size=64, nc=8)
+    hyp = {"lr0": 0.01, "lrf": 0.2, "momentum": 0.937, "warmup_iters": 0,
+           "warmup_momentum": 0.8, "warmup_bias_lr": 0.1, "box": 0.05,
+           "cls": 0.5, "obj": 1.0, "anchor_t": 4.0, "weight_decay": 0.0,
+           "mosaic": 1.0, "fliplr": 0.5, "translate": 0.1, "scale": 0.5}
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=True)
+    cfg = LossConfig(nc=8, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides)
+    tx = make_optimizer(hyp, variables["params"], epochs=2, nb=2)
+    step_raw = make_train_step(model, tx, cfg)
+
+    def run(mesh):
+        feed = make_bank_feed(ds, 8, 64, hyp, seed=9, device_bank=True)
+        if mesh is not None:
+            feed.banks = replicate_tree(feed.banks, mesh)
+        fn = make_epoch_scan(step_raw, feed.aug_raw, mesh=mesh)
+        st = TrainState.create(variables["params"],
+                               variables["batch_stats"], tx)
+        if mesh is not None:
+            st = replicate_tree(st, mesh)
+        prim, sec, keys = feed.epoch_schedule()
+        sec_in = prim if sec is None else sec
+        st, ms = fn(st, feed.banks, jnp.asarray(prim),
+                    jnp.asarray(sec_in), keys)
+        return st, np.asarray(ms["loss"])
+
+    st1, l1 = run(None)
+    st8, l8 = run(make_mesh())
+    # cross-device reductions legitimately reorder f32 sums: last-ulp slack
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        st1.params, st8.params)
