@@ -106,13 +106,29 @@ def main(argv=None):
     p.add_argument("--anno-json", default="",
                    help="COCO annotations json for an optional COCOeval "
                         "pass on --save-json (reference test.py:314-330)")
+    p.add_argument("--int8", action="store_true",
+                   help="score the int8 serving kernels (quantized "
+                        "projection GEMMs) — measures the mAP cost of "
+                        "the quantized path; TPU only")
     p.add_argument("--platform", default="", help="force jax platform (e.g. cpu)")
     a = p.parse_args(argv)
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
 
+    if a.int8:
+        # trace-time gate: everything built under this context traces the
+        # quantized megakernel GEMMs (and compiles on first call inside
+        # run_map, also under the context)
+        import contextlib
+        from sodt_tpu.pallas import int8_serving
+        ctx = int8_serving()
+    else:
+        import contextlib
+        ctx = contextlib.nullcontext()
+
     if a.task in ("val", "test", "train"):
-        m = run_map(a, a.img_size)
+        with ctx:
+            m = run_map(a, a.img_size)
         print(json.dumps({k: v for k, v in m.items()
                           if isinstance(v, (int, float))}))
     elif a.task == "speed":
