@@ -191,3 +191,15 @@ class VedaiDataset:
         if rgb.shape[-1] == 1:
             rgb = np.repeat(rgb, 3, axis=-1)
         return rgb, ir[..., :3], self.labels[i].copy()
+
+
+def apply_single_cls(ds):
+    """--single-cls: collapse every label to class 0 in place (reference
+    datasets.py:786 `if single_cls: l[:, 0] = 0`). Works on any dataset
+    exposing a `.labels` list of (n, 5) [cls, cx, cy, w, h] arrays."""
+    ds.labels = [
+        (np.concatenate([np.zeros((len(l), 1), np.float32),
+                         np.asarray(l, np.float32)[:, 1:]], axis=1)
+         if len(l) else l)
+        for l in ds.labels]
+    return ds

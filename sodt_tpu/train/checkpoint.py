@@ -101,3 +101,43 @@ def eval_variables(ckpt: dict, *, ema: bool = True) -> dict:
         return {"params": ckpt["ema_params"],
                 "batch_stats": ckpt["ema_batch_stats"]}
     return {"params": ckpt["params"], "batch_stats": ckpt["batch_stats"]}
+
+
+def load_pretrained_variables(variables: dict, path: str | Path,
+                              exclude: tuple = ("anchor",)):
+    """Initial-weights load for training (reference Train.py:150-160:
+    `intersect_dicts(state_dict, model.state_dict(), exclude=['anchor'])`
+    + non-strict load): copy checkpoint leaves into the freshly
+    initialized tree wherever the path avoids `exclude` substrings and
+    the shape matches; everything else keeps its fresh init. The
+    optimizer starts fresh — use --resume for a full-state restart.
+
+    Returns (variables, n_loaded, n_total)."""
+    import jax.numpy as jnp
+    ckpt = load_checkpoint(path)
+    src = eval_variables(ckpt) if (
+        "ema_params" in ckpt or "params" in ckpt) else ckpt
+    counts = [0, 0]
+
+    def merge(dst, s, p=""):
+        out = {}
+        for k, v in dst.items():
+            sv = s.get(k) if isinstance(s, dict) else None
+            q = f"{p}/{k}"
+            if isinstance(v, dict):
+                out[k] = merge(v, sv if isinstance(sv, dict) else {}, q)
+            else:
+                counts[1] += 1
+                if (sv is not None and not isinstance(sv, dict)
+                        and not any(e in q for e in exclude)
+                        and getattr(sv, "shape", None) == v.shape):
+                    out[k] = jnp.asarray(sv, v.dtype)
+                    counts[0] += 1
+                else:
+                    out[k] = v
+        return out
+
+    merged = {c: merge(variables[c], src.get(c, {}))
+              for c in ("params", "batch_stats") if c in variables}
+    merged.update({c: variables[c] for c in variables if c not in merged})
+    return merged, counts[0], counts[1]

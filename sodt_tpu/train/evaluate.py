@@ -37,7 +37,8 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
                    top_k: int = 4096, merge: bool = True,
                    multi_label: bool = True,
                    loss_cfg: LossConfig | None = None,
-                   augment: bool = False, approx_topk: bool = False):
+                   augment: bool = False, approx_topk: bool = False,
+                   hybrid_labels: bool = False):
     """Jitted (variables, img, ir[, targets, tmask]) -> (dets, valid[, loss]).
 
     augment=True runs test-time augmentation (reference test.py:360 ->
@@ -73,6 +74,21 @@ def make_eval_step(model, *, conf_thres: float = 0.001,
                                                strides))
         pred = (preds[0] if len(preds) == 1
                 else jnp.concatenate(preds, axis=1))
+        if hybrid_labels and targets is not None:
+            # --save-hybrid: seed NMS with the GT boxes as unit-confidence
+            # candidates (reference autolabelling, general.py:447-453 via
+            # test.py:136 `lb`); masked label slots get obj 0 and fall to
+            # the conf gate
+            nc_ = pred.shape[-1] - 5
+            net = jnp.asarray([img.shape[2], img.shape[1],
+                               img.shape[2], img.shape[1]], jnp.float32)
+            gt_boxes = targets[..., 1:5] * net              # (B, M, 4) xywh
+            obj = tmask.astype(pred.dtype)[..., None]       # (B, M, 1)
+            onehot = jax.nn.one_hot(targets[..., 0].astype(jnp.int32),
+                                    nc_, dtype=pred.dtype)
+            v = jnp.concatenate([gt_boxes.astype(pred.dtype), obj,
+                                 onehot * obj], axis=-1)
+            pred = jnp.concatenate([pred, v], axis=1)
         dets, valid = batched_nms(
             pred, conf_thres=conf_thres, iou_thres=iou_thres,
             multi_label=multi_label, max_det=max_det, top_k=top_k,
@@ -111,7 +127,8 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
              confusion: bool = False, verbose: bool = False,
              save_json: str | None = None, save_txt: str | None = None,
              augment: bool = False, anno_json: str | None = None,
-             cache_bias: bool = True):
+             cache_bias: bool = True, save_conf: bool = False,
+             save_hybrid: bool = False):
     """Run the full eval protocol. Returns a metrics dict.
 
     `batches` yields dicts from data.loader.make_eval_batches.
@@ -123,7 +140,8 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
             pass  # non-rel-bias models (CNN configs) have nothing to cache
     step = make_eval_step(model, conf_thres=conf_thres, iou_thres=iou_thres,
                           max_det=max_det, top_k=top_k, merge=merge,
-                          loss_cfg=loss_cfg, augment=augment)
+                          loss_cfg=loss_cfg, augment=augment,
+                          hybrid_labels=save_hybrid)
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
     cm = ConfusionMatrix(nc=nc) if confusion else None
@@ -205,8 +223,11 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                             cy = (y1 + y2) / 2 / h0
                             bw = (x2 - x1) / w0
                             bh = (y2 - y1) / h0
+                            # conf column only with --save-conf
+                            # (reference test.py:166-168)
+                            tail = f" {conf_:.5f}" if save_conf else ""
                             fh.write(f"{int(cls_)} {cx:.6f} {cy:.6f} "
-                                     f"{bw:.6f} {bh:.6f} {conf_:.5f}\n")
+                                     f"{bw:.6f} {bh:.6f}{tail}\n")
 
     out: dict[str, Any] = {"seen": seen,
                            "speed_ms": 1000 * t_infer / max(seen, 1)}

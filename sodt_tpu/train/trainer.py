@@ -68,9 +68,13 @@ class TrainConfig:
     resume: str = ""
     log_every: int = 10
     # epoch-scan feed: None = auto (on when the dataset's u8 tiles fit the
-    # HBM bank budget, the mesh is one device and multi_scale is off);
-    # True forces the bank, False forces the per-step feed
+    # HBM bank budget and the batch splits over the mesh); True forces the
+    # bank, False forces the per-step feed
     scan_epoch: bool | None = None
+    weights: str = ""              # initial weights (Train.py:150-160)
+    single_cls: bool = False       # all labels -> class 0, nc=1
+    nosave: bool = False           # only save the final checkpoint
+    notest: bool = False           # only evaluate the final epoch
     nbs: int = NOMINAL_BATCH       # nominal batch for grad accumulation
     wandb: bool = False            # W&B lifecycle (scalars + artifacts)
     freeze: tuple = ()             # param-path substrings to freeze
@@ -102,8 +106,9 @@ def train(tc: TrainConfig) -> dict:
     hyp = _load_hyp(tc.hyp)
     with open(tc.data) as f:
         data_cfg = yaml.safe_load(f)
-    nc = int(data_cfg.get("nc", 8))
-    names = data_cfg.get("names", [str(i) for i in range(nc)])
+    nc = 1 if tc.single_cls else int(data_cfg.get("nc", 8))
+    names = (["item"] if tc.single_cls
+             else data_cfg.get("names", [str(i) for i in range(nc)]))
     (save_dir / "hyp.yaml").write_text(yaml.dump(hyp))
     (save_dir / "opt.yaml").write_text(yaml.dump(dataclasses.asdict(tc)))
 
@@ -112,6 +117,10 @@ def train(tc: TrainConfig) -> dict:
     dtype = jnp.bfloat16 if tc.bf16 else jnp.float32
 
     train_ds, val_ds = _datasets(tc, data_cfg)
+    if tc.single_cls:
+        from ..data.vedai import apply_single_cls
+        apply_single_cls(train_ds)
+        apply_single_cls(val_ds)
 
     # autoanchor BPR check + refit (reference Train.py:260-261)
     anchors_override = None
@@ -149,6 +158,12 @@ def train(tc: TrainConfig) -> dict:
 
     x0 = jnp.zeros((2, tc.img_size, tc.img_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(tc.seed), x0, x0, train=True)
+    if tc.weights and not tc.resume:
+        # initial weights: shape-matched non-strict load, fresh optimizer
+        from .checkpoint import load_pretrained_variables
+        variables, n_hit, n_all = load_pretrained_variables(
+            variables, tc.weights)
+        print(f"pretrained: {n_hit}/{n_all} arrays from {tc.weights}")
     params, batch_stats = variables["params"], variables["batch_stats"]
     nparams = sum(p.size for p in jax.tree.leaves(params))
 
@@ -279,7 +294,9 @@ def train(tc: TrainConfig) -> dict:
                 + " ".join(f"{k}={v:.4f}" for k, v in mean_losses.items())
                 + f" img/s={ips:.1f}")
 
-        if (epoch + 1) % tc.eval_every == 0 or epoch == tc.epochs - 1:
+        is_final = epoch == tc.epochs - 1
+        if is_final or (not tc.notest
+                        and (epoch + 1) % tc.eval_every == 0):
             evars = {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats}
             m = evaluate(model, evars,
@@ -300,13 +317,15 @@ def train(tc: TrainConfig) -> dict:
                                   float(lr_b(opt_step))))
             extra = ({"wandb_id": logger.wandb_id}
                      if logger.wandb_id else None)
-            save_checkpoint(save_dir / "last", state, epoch=epoch,
-                            best_fitness=best_fitness, extra=extra)
+            if not tc.nosave or is_final:
+                save_checkpoint(save_dir / "last", state, epoch=epoch,
+                                best_fitness=best_fitness, extra=extra)
             is_best = fit > best_fitness
             if is_best:
                 best_fitness = fit
-                save_checkpoint(save_dir / "best", state, epoch=epoch,
-                                best_fitness=best_fitness, extra=extra)
+                if not tc.nosave or is_final:
+                    save_checkpoint(save_dir / "best", state, epoch=epoch,
+                                    best_fitness=best_fitness, extra=extra)
             if (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0
                     and epoch != tc.epochs - 1):
                 # periodic epoch snapshot (reference Train.py:549)

@@ -335,3 +335,36 @@ def test_epoch_scan_matches_per_step():
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         s_a.params, s_b.params)
     assert int(s_b.step) == 8
+
+
+def test_load_pretrained_variables(tmp_path):
+    """Initial-weights load (Train.py:150-160 parity): shape-matched
+    leaves copy over, anchors and mismatched heads keep fresh init."""
+    from sodt_tpu.train.checkpoint import (save_checkpoint,
+                                           load_pretrained_variables)
+    model, state, step, batch = _setup()
+    jstep = jax.jit(step)
+    s, _ = jstep(state, batch)
+    save_checkpoint(tmp_path / "ck", s, epoch=0, best_fitness=0.0)
+
+    model2 = build_model(TINY, ch_in=3, input_mode="RGB")
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    v = model2.init(jax.random.PRNGKey(7), x, x, train=True)
+    v2, hit, total = load_pretrained_variables(v, tmp_path / "ck")
+    assert 0 < hit <= total
+    # at least one loaded leaf equals the checkpoint's EMA value
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        v2["params"], s.ema_params))
+    assert min(diffs) == 0.0
+
+
+def test_apply_single_cls():
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.vedai import apply_single_cls
+    ds = SyntheticVedai(n=4, img_size=64, nc=8)
+    assert any(len(l) and l[:, 0].max() > 0 for l in ds.labels)
+    apply_single_cls(ds)
+    for l in ds.labels:
+        if len(l):
+            assert (l[:, 0] == 0).all()

@@ -18,6 +18,16 @@ from sodt_tpu.train.trainer import TrainConfig, train
 
 def parse_args(argv=None, return_evolve: bool = False):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--weights", default="",
+                   help="initial weights checkpoint: shape-matched "
+                        "non-strict load, fresh optimizer "
+                        "(Train.py:150-160); use --resume for full-state")
+    p.add_argument("--single-cls", action="store_true",
+                   help="train multi-class data as single-class")
+    p.add_argument("--nosave", action="store_true",
+                   help="only save the final checkpoint")
+    p.add_argument("--notest", action="store_true",
+                   help="only evaluate the final epoch")
     p.add_argument("--cfg", default="configs/model.yaml",
                    help="model yaml")
     p.add_argument("--data", default="configs/data_vedai.yaml")
@@ -88,7 +98,9 @@ def parse_args(argv=None, return_evolve: bool = False):
                        wandb=a.wandb, save_period=a.save_period,
                        freeze=tuple(s for s in a.freeze.split(",") if s),
                        scan_epoch={None: None, "auto": None, "on": True,
-                                   "off": False}[a.scan_epoch])
+                                   "off": False}[a.scan_epoch],
+                       weights=a.weights, single_cls=a.single_cls,
+                       nosave=a.nosave, notest=a.notest)
     if return_evolve:
         return tc, a.evolve
     return tc

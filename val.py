@@ -52,6 +52,10 @@ def build(a, img_size: int):
                                                             "train")
                                        else "val", data_cfg["val"]),
                           img_size=img_size)
+    if getattr(a, "single_cls", False):
+        from sodt_tpu.data.vedai import apply_single_cls
+        apply_single_cls(ds)
+        nc, names = 1, ["item"]
     return model, variables, ds, nc, names
 
 
@@ -69,7 +73,8 @@ def run_map(a, img_size: int):
                  anno_json=a.anno_json or None,
                  save_json=str(save_dir / "predictions.json")
                  if a.save_json else None,
-                 save_txt=str(save_dir / "labels") if a.save_txt else None)
+                 save_txt=str(save_dir / "labels") if a.save_txt else None,
+                 save_conf=a.save_conf, save_hybrid=a.save_hybrid)
     if a.plots and "confusion_matrix" in m:
         from sodt_tpu.utils.plots import plot_confusion_matrix
         plot_confusion_matrix(m["confusion_matrix"],
@@ -98,6 +103,13 @@ def main(argv=None):
     p.add_argument("--save-dir", default="runs/val/exp")
     p.add_argument("--save-json", action="store_true")
     p.add_argument("--save-txt", action="store_true")
+    p.add_argument("--save-conf", action="store_true",
+                   help="include confidences in --save-txt labels")
+    p.add_argument("--save-hybrid", action="store_true",
+                   help="seed NMS with GT labels (autolabelling, "
+                        "reference test.py:136)")
+    p.add_argument("--single-cls", action="store_true",
+                   help="treat as single-class dataset")
     p.add_argument("--rect", action="store_true",
                    help="rectangular eval batching (datasets.py:724-747, "
                         "pad 0.5) — one compile per distinct batch shape")
