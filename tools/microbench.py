@@ -112,15 +112,50 @@ def bench_gelu(batch: int):
               f"{float(jnp.abs(a - b).max()):.3e}", flush=True)
 
 
+def bench_block(batch: int):
+    """Stage-1 megakernel, bf16 vs int8 serving GEMMs, at flagship shape
+    (128x128 map, c=192, ws=8, nh=12)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sodt_tpu.pallas.swin_block import (_pallas_swin_block,
+                                            _pallas_swin_block_q8)
+
+    hw, c, nh, ws = 128, 192, 12, 8
+    hid = 4 * c
+    rng = np.random.default_rng(0)
+    r = lambda s_: jnp.asarray(
+        rng.normal(size=s_).astype(np.float32) * 0.1)
+    x = r((batch, hw, hw, c)).astype(jnp.bfloat16)
+    lns1, lnb1 = 1.0 + r((c,)), r((c,))
+    lns2, lnb2 = 1.0 + r((c,)), r((c,))
+    wqkv, bqkv = r((c, 3 * c)).astype(jnp.bfloat16), r((3 * c,)).astype(jnp.bfloat16)
+    wp, bp = r((c, c)).astype(jnp.bfloat16), r((c,)).astype(jnp.bfloat16)
+    w1, b1 = r((c, hid)).astype(jnp.bfloat16), r((hid,)).astype(jnp.bfloat16)
+    w2, b2 = r((hid, c)).astype(jnp.bfloat16), r((c,)).astype(jnp.bfloat16)
+    bias = r((nh, ws * ws, ws * ws))
+    scale = (c // nh) ** -0.5
+    args = (x, lns1, lnb1, wqkv, bqkv, wp, bp, lns2, lnb2, w1, b1, w2,
+            b2, bias)
+    t_bf = timed(lambda *a: _pallas_swin_block(*a, ws, nh, scale), *args)
+    print(f"block bf16  b{batch}: {t_bf*1e3:8.2f} ms")
+    t_q8 = timed(lambda *a: _pallas_swin_block_q8(*a, ws, nh, scale),
+                 *args)
+    print(f"block int8  b{batch}: {t_q8*1e3:8.2f} ms "
+          f"({t_bf/t_q8:.2f}x)")
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("which", choices=["attn", "gelu", "all"], nargs="?",
+    p.add_argument("which", choices=["attn", "gelu", "block", "all"],
+                   nargs="?",
                    default="all")
     p.add_argument("--batch", type=int, default=16)
     a = p.parse_args()
     if a.which in ("attn", "all"):
         print("window attention (bf16):", flush=True)
         bench_attn(a.batch)
+    if a.which in ("block", "all"):
+        bench_block(a.batch)
     if a.which in ("gelu", "all"):
         print("GELU:", flush=True)
         bench_gelu(a.batch)
