@@ -137,11 +137,17 @@ def main():
     irs_d = jnp.stack([jnp.asarray(x) for x in irs])
 
     idx = jnp.arange(iters, dtype=jnp.int32) % n_inputs
+    topk_path = "approx"
     try:
         step_u8, run_scan = build_steps(True)
         float(run_scan(variables, imgs_d, irs_d, idx))  # compile
-    except Exception:
-        # approx_max_k unavailable on this lowering path: exact top_k
+    except Exception as e:
+        # approx_max_k unavailable on this lowering path: exact top_k.
+        # Recorded in the output so a silent fallback can't masquerade
+        # as the intended configuration.
+        print(f"approx top-k unavailable ({type(e).__name__}); "
+              "falling back to exact sort", flush=True)
+        topk_path = "exact"
         step_u8, run_scan = build_steps(False)
         float(run_scan(variables, imgs_d, irs_d, idx))
 
@@ -221,6 +227,8 @@ def main():
     }
     if int8_ips is not None:
         out["int8_ips"] = round(int8_ips, 2)
+    if topk_path != "approx":
+        out["topk_path"] = topk_path
     if gflops_img:
         out["gflops_per_img"] = round(gflops_img, 1)
     if inf_mfu is not None:

@@ -407,16 +407,14 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         raise ValueError(
             f"dataset has {n} images < batch_size {batch_size}; "
             "the epoch schedule would never yield a batch")
-    if device_bank is None:
-        bank_bytes = 2 * n * img_size * img_size * 3
-        device_bank = bank_bytes <= DEVICE_BANK_MAX_GB * 2**30
-    if device_bank:
-        yield from _bank_train_batches(
-            dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
-            epochs=epochs, mosaic=mosaic,
-            sample_weights_fn=sample_weights_fn, multi_scale=multi_scale,
-            multi_scale_buckets=multi_scale_buckets,
-            prefer_native=prefer_native)
+    feed = make_bank_feed(dataset, batch_size, img_size, hyp, seed=seed,
+                          m0=m0, mosaic=mosaic,
+                          sample_weights_fn=sample_weights_fn,
+                          prefer_native=prefer_native,
+                          device_bank=device_bank)
+    if feed is not None:
+        yield from _bank_train_batches(feed, img_size, epochs,
+                                       multi_scale, multi_scale_buckets)
         return
     aug = make_augment_fn(img_size, hyp, use_mixup, mosaic_p)
     src = _make_tile_source(dataset, img_size, prefer_native, cache)
@@ -502,19 +500,15 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         step += 1
 
 
-def _bank_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
-                        *, seed: int, m0: int, epochs: int | None,
-                        mosaic: bool, sample_weights_fn,
-                        multi_scale: bool, multi_scale_buckets,
-                        prefer_native: bool) -> Iterator[dict]:
+def _bank_train_batches(feed: BankFeed, img_size: int,
+                        epochs: int | None, multi_scale: bool,
+                        multi_scale_buckets) -> Iterator[dict]:
     """Device-bank feed regime (see make_train_batches docstring): a thin
     iterator over BankFeed, so the per-step and epoch-scan protocols share
-    one scheduler/augment implementation. The multi-scale bucket draw uses
-    the feed's Generator at the same sequence point as the streaming
-    regime, keeping the sample streams identical at the same seed."""
-    feed = BankFeed(dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
-                    mosaic=mosaic, sample_weights_fn=sample_weights_fn,
-                    prefer_native=prefer_native)
+    one scheduler/augment implementation (and one HBM-budget gate, in
+    make_bank_feed). The multi-scale bucket draw uses the feed's Generator
+    at the same sequence point as the streaming regime, keeping the sample
+    streams identical at the same seed."""
     total = None if epochs is None else epochs * feed.steps_per_epoch
     while total is None or feed.step < total:
         b = feed.augment_step()
@@ -585,7 +579,7 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
                        m0: int, stride: int, pad: float) -> Iterator[dict]:
     """Rectangular eval batching (reference datasets.py:724-747)."""
     from pathlib import Path
-    from ..ops.letterbox import letterbox_image, letterbox_params
+    from ..ops.letterbox import letterbox_image_np, letterbox_params
 
     n = len(dataset)
     files = getattr(dataset, "img_files", None)
@@ -617,20 +611,23 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
         bh, bw = (np.ceil(np.asarray(shape) * img_size / stride
                           + pad).astype(int) * stride).tolist()
 
-        rgbs, irs, labs, msks, shps, stems = [], [], [], [], [], []
+        rgbs, irs, labs, msks, shps, stems, rps = ([], [], [], [], [],
+                                                   [], [])
         for i in idx:
             rgb, ir, lab = dataset[i]
             h1, w1 = rgb.shape[:2]
-            # letterbox in f32 then quantize back to u8 for the wire (the
-            # reference letterboxes u8 via cv2.resize, datasets.py:1151)
-            rgbs.append(np.asarray(letterbox_image(
-                jnp.asarray(rgb, jnp.float32), (bh, bw),
-                scaleup=False)).round().clip(0, 255).astype(np.uint8))
-            irs.append(np.asarray(letterbox_image(
-                jnp.asarray(ir, jnp.float32), (bh, bw),
-                scaleup=False)).round().clip(0, 255).astype(np.uint8))
+            # host-side u8 letterbox (the reference letterboxes u8 via
+            # cv2, datasets.py:1151); keeps the wire to ONE u8 batch
+            # upload instead of per-image f32 round trips
+            rgbs.append(letterbox_image_np(rgb, (bh, bw), scaleup=False))
+            irs.append(letterbox_image_np(ir, (bh, bw), scaleup=False))
             (r, _), _, (dw, dh) = letterbox_params(
                 (h1, w1), (bh, bw), scaleup=False)
+            # actual letterbox gain/pad, carried so the export path can
+            # invert the SAME transform (scaleup=False clamps r to 1.0;
+            # recomputing gain from shapes would shrink every box ~6%
+            # at 512->544)
+            rps.append(((r,), (dw, dh)))
             # xywhn in the original frame -> xywhn in the letterboxed frame
             lab = lab.copy()
             if len(lab):
@@ -650,5 +647,6 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
             "targets": jnp.asarray(np.stack(labs)),
             "tmask": jnp.asarray(np.stack(msks)),
             "indices": idx, "valid": valid, "shapes": shps,
+            "ratio_pads": rps,
             "stems": stems, "net_shape": (bh, bw),
         }

@@ -79,3 +79,31 @@ def letterbox_image(img: jax.Array, new_shape_hw, *, scaleup: bool = True,
 def _unpack(params):
     ratio, new_unpad, dwdh = params
     return (ratio, ratio), (new_unpad[0], new_unpad[1]), dwdh
+
+
+def letterbox_image_np(img, new_shape_hw, *, scaleup: bool = True,
+                       pad_value: int = 114):
+    """Host-side uint8 letterbox with the same geometry as
+    `letterbox_image` (same letterbox_params, same round(d±0.1) split).
+
+    For feed paths that keep images on the host until one uint8 batch
+    upload (rect eval): the device variant would cost an f32 upload +
+    per-shape dispatch + download per image on a remote-attached chip.
+    """
+    import numpy as np
+    h0, w0 = img.shape[:2]
+    if isinstance(new_shape_hw, int):
+        new_shape_hw = (new_shape_hw, new_shape_hw)
+    (_, _), (uw, uh), (dw, dh) = _unpack(letterbox_params(
+        (h0, w0), new_shape_hw, scaleup=scaleup))
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    resized = np.asarray(img)
+    if (uh, uw) != (h0, w0):
+        from PIL import Image
+        resized = np.asarray(Image.fromarray(
+            np.asarray(img, np.uint8)).resize((uw, uh), Image.BILINEAR))
+    out = np.pad(resized, ((top, bottom), (left, right), (0, 0)),
+                 constant_values=pad_value)
+    assert out.shape[:2] == tuple(new_shape_hw)
+    return out.astype(np.uint8)

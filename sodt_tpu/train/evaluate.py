@@ -113,6 +113,15 @@ def cache_rel_bias(model, variables, img_size: int):
     cache is a pure function of the weights — refresh after any load."""
     if isinstance(variables, (list, tuple)):
         return [cache_rel_bias(model, v, img_size) for v in variables]
+    # only models with rel-pos bias tables have anything to cache (CNN
+    # configs don't); detect by param name so real failures in the apply
+    # below surface instead of silently degrading to per-call gathers
+    import jax
+    from jax.tree_util import tree_flatten_with_path, keystr
+    leaves, _ = tree_flatten_with_path(variables.get("params", {}))
+    if not any("relative_position_bias_table" in keystr(p)
+               for p, _ in leaves):
+        return variables
     import jax.numpy as jnp
     x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     _, caches = model.apply(variables, x0, x0, train=False,
@@ -134,10 +143,7 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
     `batches` yields dicts from data.loader.make_eval_batches.
     """
     if cache_bias:
-        try:
-            variables = cache_rel_bias(model, variables, img_size)
-        except Exception:
-            pass  # non-rel-bias models (CNN configs) have nothing to cache
+        variables = cache_rel_bias(model, variables, img_size)
     step = make_eval_step(model, conf_thres=conf_thres, iou_thres=iou_thres,
                           max_det=max_det, top_k=top_k, merge=merge,
                           loss_cfg=loss_cfg, augment=augment,
@@ -200,11 +206,15 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                 h0, w0 = (shapes[si] if shapes is not None
                           else (net_h, net_w))
                 dn = d.copy()
-                if (h0, w0) != (net_h, net_w):
+                rps = batch.get("ratio_pads")
+                if rps is not None or (h0, w0) != (net_h, net_w):
                     from ..ops.boxes import scale_coords
+                    # rect batches carry the ACTUAL letterbox gain/pad
+                    # (scaleup=False clamps the gain; recomputing it from
+                    # shapes would mis-scale every exported box)
                     dn[:, :4] = np.asarray(scale_coords(
-                        (net_h, net_w), jnp.asarray(d[:, :4]),
-                        (h0, w0)))
+                        (net_h, net_w), jnp.asarray(d[:, :4]), (h0, w0),
+                        ratio_pad=None if rps is None else rps[si]))
                 if save_json is not None:
                     for x1, y1, x2, y2, conf_, cls_ in dn:
                         jdict.append({"image_id": image_id,

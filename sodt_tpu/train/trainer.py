@@ -22,6 +22,7 @@ import yaml
 
 from ..models import build_model
 from ..parallel import make_mesh, shard_batch, replicate_tree
+from ..parallel.mesh import host_shard_batch
 from ..data import SyntheticVedai, VedaiDataset
 from ..data.loader import (make_train_batches, make_eval_batches,
                            make_bank_feed)
@@ -282,7 +283,12 @@ def train(tc: TrainConfig) -> dict:
             for bi in range(nb):
                 batch = next(batches)
                 batch = {k: v for k, v in batch.items() if k != "epoch"}
-                batch = shard_batch(batch, mesh)
+                # multi-host: each process feeds its LOCAL shard without
+                # a gather (mesh.py host_shard_batch); single process is
+                # the plain device_put sharding
+                batch = (host_shard_batch(batch, mesh)
+                         if jax.process_count() > 1
+                         else shard_batch(batch, mesh))
                 state, m = step_fn(state, batch)
                 if bi % tc.log_every == 0:
                     losses.append({k: float(v) for k, v in m.items()})

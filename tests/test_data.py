@@ -483,3 +483,26 @@ def test_rect_eval_end_to_end():
                  make_eval_batches(ds, 2, 64, rect=True, stride=32),
                  nc=8, img_size=64)
     assert m["seen"] == 4
+
+
+def test_rect_export_ratio_pad_roundtrip():
+    """--rect export must invert the ACTUAL letterbox (scaleup=False clamps
+    gain to 1.0 with padding); recomputing gain from shapes would shrink
+    every exported box. The batch carries ratio_pads for scale_coords."""
+    from sodt_tpu.ops.boxes import scale_coords, xywhn2xyxy
+    ds = SyntheticVedai(n=4, img_size=512, nc=8)
+    b = next(make_eval_batches(ds, 2, 512, rect=True, stride=32))
+    assert "ratio_pads" in b
+    bh, bw = b["img"].shape[1:3]
+    assert (bh, bw) == (544, 544)  # ceil(512*1.0/32 + 0.5)*32
+    (r,), (dw, dh) = b["ratio_pads"][0]
+    assert r == 1.0 and dw == 16.0 and dh == 16.0
+    # targets were letterboxed into net space; exporting back with the
+    # carried ratio_pad must recover the native-frame GT exactly
+    tm = np.asarray(b["tmask"][0])
+    t_net = np.asarray(xywhn2xyxy(b["targets"][0][..., 1:5], bw, bh))[tm]
+    back = np.asarray(scale_coords((bh, bw), jnp.asarray(t_net),
+                                   (512, 512), ratio_pad=((r,), (dw, dh))))
+    gt = np.asarray(xywhn2xyxy(
+        jnp.asarray(ds.labels[int(b["indices"][0])][:, 1:5]), 512, 512))
+    np.testing.assert_allclose(back[:, :4], gt, atol=0.6)

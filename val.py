@@ -138,36 +138,37 @@ def main(argv=None):
         import contextlib
         ctx = contextlib.nullcontext()
 
-    if a.task in ("val", "test", "train"):
-        with ctx:
+    # the int8 trace-time gate wraps EVERY task (study/speed included)
+    with ctx:
+        if a.task in ("val", "test", "train"):
             m = run_map(a, a.img_size)
-        print(json.dumps({k: v for k, v in m.items()
-                          if isinstance(v, (int, float))}))
-    elif a.task == "speed":
-        model, variables, ds, nc, names = build(a, a.img_size)
-        step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45)
-        x = jnp.zeros((a.batch_size, a.img_size, a.img_size, 3))
-        dets, valid, _ = step(variables, x, x)
-        jax.block_until_ready(dets)
-        t0 = time.perf_counter()
-        n = 20
-        for _ in range(n):
+            print(json.dumps({k: v for k, v in m.items()
+                              if isinstance(v, (int, float))}))
+        elif a.task == "speed":
+            model, variables, ds, nc, names = build(a, a.img_size)
+            step = make_eval_step(model, conf_thres=0.25, iou_thres=0.45)
+            x = jnp.zeros((a.batch_size, a.img_size, a.img_size, 3))
             dets, valid, _ = step(variables, x, x)
-        jax.block_until_ready(dets)
-        dt = (time.perf_counter() - t0) / (n * a.batch_size) * 1000
-        print(json.dumps({"ms_per_image": dt, "img_size": a.img_size,
-                          "batch_size": a.batch_size}))
-    elif a.task == "study":
-        rows = []
-        for s in range(256, 1537, 128):
-            try:
-                m = run_map(a, s)
-                rows.append({"img_size": s, "map50": m["map50"],
-                             "map": m["map"], "speed_ms": m["speed_ms"]})
-                print(rows[-1])
-            except Exception as e:  # keep sweeping like the reference
-                print({"img_size": s, "error": str(e)})
-        print(json.dumps(rows))
+            jax.block_until_ready(dets)
+            t0 = time.perf_counter()
+            n = 20
+            for _ in range(n):
+                dets, valid, _ = step(variables, x, x)
+            jax.block_until_ready(dets)
+            dt = (time.perf_counter() - t0) / (n * a.batch_size) * 1000
+            print(json.dumps({"ms_per_image": dt, "img_size": a.img_size,
+                              "batch_size": a.batch_size}))
+        elif a.task == "study":
+            rows = []
+            for s in range(256, 1537, 128):
+                try:
+                    m = run_map(a, s)
+                    rows.append({"img_size": s, "map50": m["map50"],
+                                 "map": m["map"], "speed_ms": m["speed_ms"]})
+                    print(rows[-1])
+                except Exception as e:  # keep sweeping like the reference
+                    print({"img_size": s, "error": str(e)})
+            print(json.dumps(rows))
 
 
 if __name__ == "__main__":
