@@ -93,19 +93,23 @@ class WindowAttentionV2(nn.Module):
                                   keepdims=True) + 1e-12)
         kn = k / (jnp.linalg.norm(k.astype(jnp.float32), axis=-1,
                                   keepdims=True) + 1e-12)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", qn, kn,
-                          preferred_element_type=jnp.float32)
+        # cosine attention = plain scaled-dot attention on the NORMALIZED
+        # q/k with the (clamped) per-head logit scale folded into q —
+        # softmax((qn*s_h) @ kn^T + bias + mask) — so the same Pallas
+        # window-attention core as v1 serves v2 with scale=1
         scale = jnp.exp(jnp.clip(logit_scale, a_max=float(np.log(100.0))))
-        attn = attn * scale[None]
-        attn = attn + bias[None]
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, nh, n, n)
-            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v.astype(self.dtype))
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        qs = (qn * scale[None]).astype(self.dtype)       # (B_, nh, n, hd)
+        pack = jnp.concatenate([
+            qs.transpose(0, 2, 1, 3).reshape(b_, n, c),
+            kn.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c),
+            v.astype(self.dtype).transpose(0, 2, 1, 3).reshape(b_, n, c),
+        ], axis=-1)                                      # (B_, n, 3C)
+        from ..pallas.window_attention import window_attention_core
+        nw = mask.shape[0] if mask is not None else 1
+        out = window_attention_core(
+            pack, bias.astype(jnp.float32),
+            None if mask is None else jnp.asarray(mask, jnp.float32),
+            nw, nh, 1.0)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
