@@ -112,4 +112,9 @@ def evolve(base_config, generations: int = 300, seed: int = 0):
             best_fit, best_hyp = fit, hyp
             (save_dir / "hyp_evolved.yaml").write_text(yaml.dump(hyp))
         print(f"evolve gen {gen}: fitness {fit:.4f} (best {best_fit:.4f})")
+    try:
+        from ..utils.plots import plot_evolution
+        plot_evolution(evolve_file, save_dir / "evolve.png")
+    except Exception:
+        pass
     return best_hyp, best_fit

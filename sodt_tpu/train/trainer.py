@@ -224,6 +224,13 @@ def train(tc: TrainConfig) -> dict:
                                         linear_lr=tc.linear_lr,
                                         accumulate=accumulate)
     try:
+        from ..utils.plots import plot_lr_schedule
+        plot_lr_schedule((lr_w, lr_b),
+                         max(tc.epochs * nb // accumulate, 2),
+                         save_dir / "LR.png")
+    except Exception:
+        pass
+    try:
         all_labels = np.concatenate([l for l in train_ds.labels if len(l)])
         plot_labels(all_labels, save_dir, nc)
     except Exception:

@@ -194,3 +194,81 @@ def plot_results(results_jsonl: str | Path, path: str | Path):
     fig.tight_layout()
     fig.savefig(path, dpi=150)
     plt.close(fig)
+
+
+def plot_evolution(evolve_file, path, keys=None):
+    """Per-hyp fitness scatter grid after --evolve (reference
+    plots.py:321-343 plot_evolution): one panel per hyperparameter,
+    fitness vs value, best point highlighted."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    if keys is None:
+        from ..train.evolve import META
+        keys = list(META.keys())
+    data = np.loadtxt(str(evolve_file), ndmin=2)
+    if data.size == 0:
+        return
+    fit = data[:, 0]
+    best = int(fit.argmax())
+    n = len(keys)
+    cols = 5
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 2.5 * rows))
+    for i, k in enumerate(keys):
+        ax = axes.ravel()[i]
+        v = data[:, i + 1]
+        ax.scatter(v, fit, c=fit, cmap="viridis", alpha=0.8,
+                   edgecolors="none", s=16)
+        ax.scatter(v[best], fit[best], marker="+", color="r", s=80)
+        ax.set_title(f"{k} = {v[best]:.3g}", fontsize=8)
+        ax.tick_params(labelsize=6)
+    for j in range(n, rows * cols):
+        axes.ravel()[j].axis("off")
+    fig.tight_layout()
+    fig.savefig(str(path), dpi=150)
+    plt.close(fig)
+
+
+def plot_study(rows, path):
+    """mAP-vs-latency curve for `val.py --task study` (reference
+    plots.py:240-270 plot_study_txt): one marker per image size."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    rows = [r for r in rows if "map50" in r]
+    if not rows:
+        return
+    ms = [r["speed_ms"] for r in rows]
+    m50 = [100 * r["map50"] for r in rows]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(ms, m50, ".-", linewidth=2, markersize=8)
+    for r, x, y in zip(rows, ms, m50):
+        ax.annotate(str(r["img_size"]), (x, y), fontsize=7,
+                    textcoords="offset points", xytext=(4, 4))
+    ax.set_xlabel("latency (ms/img)")
+    ax.set_ylabel("mAP@0.5 (%)")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(str(path), dpi=150)
+    plt.close(fig)
+
+
+def plot_lr_schedule(lr_fns, steps: int, path, labels=("weights", "bias")):
+    """LR-vs-step curves for the configured schedules (reference
+    plots.py:193-207 plot_lr_scheduler, which steps a live scheduler;
+    here schedules are pure functions of the optimizer step)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    xs = np.arange(steps)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for fn, lab in zip(lr_fns, labels):
+        ax.plot(xs, [float(fn(int(x))) for x in xs], label=lab)
+    ax.set_xlabel("optimizer step")
+    ax.set_ylabel("LR")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(str(path), dpi=150)
+    plt.close(fig)

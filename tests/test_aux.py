@@ -204,3 +204,25 @@ def test_tta_equivariance():
     want_y = np.asarray(dec2[..., 1]) / 0.83
     np.testing.assert_allclose(np.asarray(y[:, n1:n1 + n2, 1]), want_y,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_plot_evolution_and_study_and_lr(tmp_path):
+    """Round-3 plot parity: evolve scatter grid, study curve, LR curves."""
+    import numpy as np
+    from sodt_tpu.utils.plots import (plot_evolution, plot_study,
+                                      plot_lr_schedule)
+    from sodt_tpu.train.evolve import META
+    rows = np.random.default_rng(0).uniform(
+        0.0, 1.0, (5, 1 + len(META)))
+    ef = tmp_path / "evolve.txt"
+    np.savetxt(ef, rows)
+    plot_evolution(ef, tmp_path / "evolve.png")
+    assert (tmp_path / "evolve.png").stat().st_size > 0
+    plot_study([{"img_size": 256, "map50": 0.3, "map": 0.1,
+                 "speed_ms": 3.0},
+                {"img_size": 512, "map50": 0.5, "map": 0.2,
+                 "speed_ms": 7.0}], tmp_path / "study.png")
+    assert (tmp_path / "study.png").stat().st_size > 0
+    plot_lr_schedule((lambda s: 0.01 * (1 - s / 100),
+                      lambda s: 0.1 / (s + 1)), 100, tmp_path / "lr.png")
+    assert (tmp_path / "lr.png").stat().st_size > 0

@@ -169,6 +169,11 @@ def main(argv=None):
                 except Exception as e:  # keep sweeping like the reference
                     print({"img_size": s, "error": str(e)})
             print(json.dumps(rows))
+            if a.plots and rows:
+                from pathlib import Path
+                from sodt_tpu.utils.plots import plot_study
+                Path(a.save_dir).mkdir(parents=True, exist_ok=True)
+                plot_study(rows, Path(a.save_dir) / "study.png")
 
 
 if __name__ == "__main__":
