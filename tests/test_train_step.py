@@ -368,3 +368,47 @@ def test_apply_single_cls():
     for l in ds.labels:
         if len(l):
             assert (l[:, 0] == 0).all()
+
+
+def test_epoch_scan_with_accumulation():
+    """Epoch scan must thread MultiSteps/accumulation state correctly:
+    same trajectory as per-step dispatch at accumulate=2."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_bank_feed, make_train_batches
+    from sodt_tpu.train.state import make_epoch_scan
+
+    model = build_model(TINY, ch_in=3, input_mode="RGB", nc=8)
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = dict(HYP, mosaic=1.0, fliplr=0.5, translate=0.1, scale=0.5)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=True)
+    cfg = LossConfig(nc=8, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides,
+                     hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                     hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+    tx = make_optimizer(HYP, variables["params"], epochs=2, nb=4,
+                        accumulate=2)
+    step_raw = make_train_step(model, tx, cfg, accumulate=2)
+
+    s_a = TrainState.create(variables["params"], variables["batch_stats"],
+                            tx)
+    jstep = jax.jit(step_raw)
+    batches = make_train_batches(ds, 2, 64, hyp, seed=11, device_bank=True)
+    for _ in range(4):
+        b = next(batches)
+        s_a, _ = jstep(s_a, {k: b[k] for k in
+                             ("img", "ir", "targets", "tmask")})
+
+    feed = make_bank_feed(ds, 2, 64, hyp, seed=11, device_bank=True)
+    epoch_fn = make_epoch_scan(step_raw, feed.aug_raw)
+    s_b = TrainState.create(variables["params"], variables["batch_stats"],
+                            tx)
+    prim, sec, keys = feed.epoch_schedule()
+    s_b, _ = epoch_fn(s_b, feed.banks, jnp.asarray(prim),
+                      jnp.asarray(prim if sec is None else sec), keys)
+    assert int(s_b.step) == 4
+    assert int(s_a.ema_updates) == int(s_b.ema_updates) == 2  # 4 steps / 2
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s_a.params, s_b.params)
