@@ -23,7 +23,10 @@ Two input regimes are timed:
 Prints ONE JSON line. Primary fields keep the round-over-round contract
 {"metric", "value", "unit", "vs_baseline"}; supplementary fields:
 inference_ips, e2e_host_ips, train_ips, inference_mfu, train_mfu,
-gflops_per_img.
+gflops_per_img, train_feed_ips (per-step loader -> train dispatch),
+train_scan_feed_ips (epoch-scan feed: the production trainer path),
+int8_ips (--int8 quantized serving), topk_path (present only when the
+approx top-k compile fell back to the exact sort).
 
 `vs_baseline` divides by an estimated PyTorch-GPU end-to-end throughput for
 the same model at 512 px. The reference repo publishes no numbers
