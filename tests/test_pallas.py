@@ -600,3 +600,32 @@ def test_int8_shifted_pair_close_to_compose():
         rel = err.max() / np.abs(np.asarray(ref)).max()
         assert rel < 0.05, f"int8 rel err {rel}"
         assert err.max() > 1e-6  # quantization really ran
+
+
+def test_q8_weight_and_dot_exactness():
+    """Quantization helpers: _q8_weight per-channel scales reconstruct
+    within one weight LSB; _q8_dot equals the manual numpy int8 GEMM."""
+    from sodt_tpu.pallas.swin_block import _q8_weight, _q8_dot
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.normal(size=(64, 96)).astype(np.float32))
+    wq, ws = _q8_weight(w)
+    assert wq.dtype == jnp.int8 and ws.shape == (1, 96)
+    recon = np.asarray(wq, np.float32) * np.asarray(ws)
+    lsb = np.asarray(ws)  # one quant step per output channel
+    assert (np.abs(recon - np.asarray(w)) <= lsb / 2 + 1e-7).all()
+
+    x = jnp.asarray(rng.normal(size=(32, 64)).astype(np.float32))
+
+    class _Ref:  # minimal ref-like wrapper for the helper's [...] reads
+        def __init__(self, v):
+            self.v = v
+
+        def __getitem__(self, idx):
+            return self.v
+
+    out = _q8_dot(x, _Ref(wq), _Ref(jnp.asarray(ws)))
+    sx = max(float(jnp.abs(x).max()), 1e-8) / 127.0
+    xq = np.clip(np.round(np.asarray(x) / sx), -127, 127).astype(np.int32)
+    manual = (xq @ np.asarray(wq, np.int32)).astype(np.float32) \
+        * (np.asarray(ws) * sx)
+    np.testing.assert_allclose(np.asarray(out), manual, rtol=1e-6)
