@@ -388,3 +388,64 @@ def test_acmix_parity(refc):
     got = ACmix(16, kernel_att=5, head=4, kernel_conv=3, s=1).apply(
         {"params": params}, nhwc(x), train=False)
     np.testing.assert_allclose(nchw(got), want, atol=5e-4, rtol=1e-3)
+
+
+def test_import_torch_cli_roundtrip(refc, tmp_path):
+    """tools/import_torch.py: a reference-layout state_dict .pt converts
+    into an orbax checkpoint whose forward matches the torch net."""
+    import importlib
+    from pathlib import Path
+    import numpy as np
+    common = refc
+    rmodel = importlib.import_module("basics.models.model")
+
+    from sodt_tpu.models import build_model
+    ours = build_model(str(Path(__file__).parent / "tiny.yaml"), ch_in=3,
+                       input_mode="RGB")
+    spec = ours.spec
+
+    torch.manual_seed(3)
+    mods = [common.Conv(3, 16, 3, 2), common.Conv(16, 32, 3, 2),
+            common.C3(32, 32, 1), common.Conv(32, 32, 1, 1)]
+    det = rmodel.Detect(spec.nc, [list(a) for a in spec.anchors], [32])
+    det.stride = torch.tensor([float(s) for s in spec.detect_strides])
+    det.anchors /= det.stride.view(-1, 1, 1)
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.ModuleList(mods + [det])
+
+    net = Net().eval()
+    _randomize_bn(net)
+    sd_path = tmp_path / "ref.pt"
+    torch.save({"model": net.state_dict(), "ema": None}, sd_path)
+
+    sys.path.insert(0, "/root/repo/tools")
+    from import_torch import convert
+    out_dir = tmp_path / "imported"
+    info = convert(str(sd_path), str(Path(__file__).parent / "tiny.yaml"),
+                   str(out_dir), input_mode="RGB", nc=spec.nc)
+    assert info["torch_keys"] > 0
+
+    from sodt_tpu.train.checkpoint import load_checkpoint, eval_variables
+    variables = eval_variables(load_checkpoint(out_dir))
+
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        y = x
+        for m in net.model[:-1]:
+            y = m(y)
+        dec_ref, _ = det([y])
+    out = ours.apply(variables, nhwc(x), nhwc(x), train=False)
+    from sodt_tpu.models.detect import decode_detections
+    anchors = np.asarray(spec.anchors, np.float32).reshape(1, 3, 2)
+    dec = np.asarray(decode_detections(out["raw"], anchors,
+                                       spec.detect_strides))
+    # ours flattens (y, x, anchor); the reference flattens (anchor, y, x)
+    # — NMS is order-invariant, reorder for the elementwise compare
+    dec = dec.reshape(1, 16 * 16, 3, 8).transpose(0, 2, 1, 3).reshape(
+        1, -1, 8)
+    # randomized BN running stats amplify f32 accumulation-order noise;
+    # exact-math parity is pinned by the module goldens above
+    np.testing.assert_allclose(dec, dec_ref.numpy(), atol=5e-3, rtol=1e-3)
