@@ -74,3 +74,29 @@ def test_bias_cache_matches_gather():
     y_gather = m.apply({"params": v["params"]}, x)
     np.testing.assert_array_equal(np.asarray(y_cached),
                                   np.asarray(y_gather))
+
+
+def test_hybrid_labels_seed_nms():
+    """--save-hybrid: GT boxes enter NMS as unit-confidence candidates
+    (reference general.py:447-453); masked label slots don't."""
+    from pathlib import Path as _P
+    from sodt_tpu.train.evaluate import make_eval_step
+    model = build_model(str(_P(__file__).parent / "tiny.yaml"), ch_in=3,
+                        input_mode="RGB")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, x, train=False)
+    targets = np.zeros((1, 4, 5), np.float32)
+    targets[0, 0] = [1, 0.5, 0.5, 0.25, 0.25]
+    targets[0, 1] = [2, 0.25, 0.25, 0.10, 0.10]  # masked out below
+    tmask = np.zeros((1, 4), bool)
+    tmask[0, 0] = True
+    step = make_eval_step(model, conf_thres=0.5, top_k=64, max_det=10,
+                          hybrid_labels=True)
+    dets, valid, _ = step(variables, x, x, jnp.asarray(targets),
+                          jnp.asarray(tmask))
+    d = np.asarray(dets[0])[np.asarray(valid[0])]
+    # exactly the one unmasked GT survives (untrained model clears
+    # nothing at conf 0.5): cxcywh (32,32,16,16) -> xyxy (24,24,40,40)
+    assert len(d) == 1
+    np.testing.assert_allclose(d[0, :4], [24, 24, 40, 40], atol=0.5)
+    assert d[0, 4] > 0.99 and int(d[0, 5]) == 1
