@@ -112,10 +112,16 @@ def main(argv=None):
         variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)
 
     # serving settings: approx top-k is exact whenever the candidates
-    # clearing conf_thres fit in top_k (the detect-CLI conf regime)
+    # clearing conf_thres fit in top_k (the detect-CLI conf regime).
+    # Below the serving regime (conf < 0.1, mAP-style sweeps) far more
+    # candidates clear the threshold, so the 512 cap + ~0.95-recall
+    # approx_max_k would silently drop boxes vs the reference detect
+    # path — widen to the eval-protocol cap with the exact sort there.
+    serving = a.conf_thres >= 0.1
     step = make_eval_step(model, conf_thres=a.conf_thres,
                           iou_thres=a.iou_thres, multi_label=False,
-                          top_k=512, approx_topk=True)
+                          top_k=512 if serving else 4096,
+                          approx_topk=serving)
     save_dir = Path(a.save_dir)
     (save_dir / "labels").mkdir(parents=True, exist_ok=True)
 

@@ -250,8 +250,22 @@ def train(tc: TrainConfig) -> dict:
     # Multi-device meshes shard the augmented batch inside the scan body
     # (sharding constraint), so the batch must split evenly.
     n_dev = len(mesh.devices.ravel())
+    # Multi-host: each process loads only its batch_size/P slice of the
+    # global batch, with a decorrelated schedule (process_index folded
+    # into the loader seed); host_shard_batch then assembles the global
+    # array from the per-process shards without a gather. Without this,
+    # every process would feed the SAME full batch as its "local shard"
+    # and the global batch would be P identical copies (no data
+    # parallelism, inflated img/s).
+    n_proc = jax.process_count()
+    if tc.batch_size % max(n_proc, 1):
+        raise ValueError(f"batch_size {tc.batch_size} not divisible by "
+                         f"process_count {n_proc}")
+    local_bs = tc.batch_size // n_proc
+    loader_seed = tc.seed + jax.process_index() * 1_000_003
     feed = None
     if (tc.scan_epoch is not False and not tc.multi_scale
+            and n_proc == 1
             and tc.batch_size % n_dev == 0):
         feed = make_bank_feed(
             train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
@@ -268,7 +282,7 @@ def train(tc: TrainConfig) -> dict:
               f"epoch-scan dispatch over {n_dev} device(s)")
     else:
         batches = make_train_batches(
-            train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
+            train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
             max_labels_per_image=tc.max_labels, epochs=None,
             sample_weights_fn=sample_weights if tc.image_weights else None,
             multi_scale=tc.multi_scale)
@@ -294,8 +308,11 @@ def train(tc: TrainConfig) -> dict:
                 # a gather (mesh.py host_shard_batch); single process is
                 # the plain device_put sharding
                 batch = (host_shard_batch(batch, mesh)
-                         if jax.process_count() > 1
+                         if n_proc > 1
                          else shard_batch(batch, mesh))
+                assert batch["img"].shape[0] == tc.batch_size, (
+                    f"assembled global batch {batch['img'].shape[0]} != "
+                    f"intended {tc.batch_size}")
                 state, m = step_fn(state, batch)
                 if bi % tc.log_every == 0:
                     losses.append({k: float(v) for k, v in m.items()})

@@ -28,7 +28,18 @@ def convert(src: str, cfg: str, out: str, *, input_mode: str = "RGB+IR",
     import torch
     if ref_path:
         sys.path.insert(0, ref_path)
-    obj = torch.load(src, map_location="cpu", weights_only=False)
+    # safe path first: weights_only=True refuses arbitrary pickle code.
+    # Full unpickling is only needed for whole-nn.Module checkpoints
+    # (Train.py:531-532) and executes the checkpoint's (and --ref-path's
+    # import-time) code — warn so the trust decision is explicit.
+    try:
+        obj = torch.load(src, map_location="cpu", weights_only=True)
+    except Exception:
+        print(f"WARNING: {src} is not a plain-tensor checkpoint; falling "
+              "back to full unpickling, which executes code from the "
+              ".pt file" + (" and imports the --ref-path package"
+                            if ref_path else "") + ".", file=sys.stderr)
+        obj = torch.load(src, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and not hasattr(
             next(iter(obj.values())), "shape"):
         # training checkpoint dict: pick ema, else model (Train.py:525-534)
