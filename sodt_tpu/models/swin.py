@@ -355,6 +355,42 @@ class SwinBlock(nn.Module):
                 shift, q8)
             return out.reshape(b, h * w, c) if tokens_in else out
 
+        # c>256-safe kernel split (round 4, flagship stage 2 at c=384):
+        # in-kernel LN at c=384 is Mosaic-compile-pathological (see
+        # ARCHITECTURE.md), so the LayerNorms stay OUTSIDE (standalone
+        # LN kernels compile fine at any c) and the GEMM-dense halves
+        # run as no-LN Pallas kernels: LN1 -> fused attention (shift
+        # folded in VMEM) -> un-shift roll -> fused add+LN2 -> fused
+        # MLP tail (+ both residuals in-kernel).
+        fast384 = (on_tpu and ws * ws <= 256 and h % ws == 0
+                   and w % ws == 0 and c > 256)
+        if fast384:
+            from ..pallas import int8_enabled
+            from ..pallas.window_attention import fused_block_attention
+            from ..pallas.swin_block import (fused_mlp_tail,
+                                             fused_conv_mlp_tail_noln)
+            q8 = int8_enabled()
+            bias, wqkv, bqkv, wp, bp = attn_mod(x, params_only=True)
+            x1 = FusedLayerNorm(dtype=dt, name="norm1")(x)
+            a = fused_block_attention(
+                x1, wqkv.astype(dt), bqkv.astype(dt), wp.astype(dt),
+                bp.astype(dt), bias.astype(jnp.float32), mask, ws,
+                self.num_heads, scale, shift, q8)
+            if shift:
+                a = jnp.roll(a, (shift, shift), (1, 2))
+            s, y = FusedAddLayerNorm(dtype=dt, name="norm2")(x, a)
+            if self.linear_mlp:
+                w1, b1, _, w2, b2 = mlp_mod(x, (h, w), params_only=True)
+                out = fused_mlp_tail(s, y, w1.astype(dt), b1.astype(dt),
+                                     w2.astype(dt), b2.astype(dt), q8)
+            else:
+                w1, b1, (wc, bc), w2, b2 = mlp_mod(x, (h, w),
+                                                   params_only=True)
+                out = fused_conv_mlp_tail_noln(
+                    s, y, w1.astype(dt), b1.astype(dt), wc.astype(dt),
+                    bc.astype(dt), w2.astype(dt), b2.astype(dt), q8)
+            return out.reshape(b, h * w, c) if tokens_in else out
+
         shortcut = x
         # Note: folding norm1 into the fused attention kernel was measured
         # net-NEGATIVE when the rest of the block stayed in XLA (+7 ms at

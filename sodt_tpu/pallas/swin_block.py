@@ -365,7 +365,18 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
     flag = jnp.where(last, 0.0, 1.0).astype(jnp.float32)
     f1 = jnp.concatenate(
         [f1[:rows * wdim], f1[rows * wdim:] * flag], axis=0)
-    # right edge zero column (reference right-pad)
+    z = _conv_gelu_fc2(f1, rows, wdim, c, sx.dtype, wc_ref, bc_ref,
+                       w2_ref, b2_ref, sc_ref=sc_ref, s2_ref=s2_ref)
+    out = res1.reshape(rows * wdim, c) + z
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _conv_gelu_fc2(f1, rows, wdim, c, dt, wc_ref, bc_ref, w2_ref, b2_ref,
+                   *, sc_ref=None, s2_ref=None):
+    """Shared tail middle: 2x2 VALID conv over the fc1 output (right edge
+    zero column, bottom halo row already prepared/zeroed by the caller)
+    -> GELU -> fc2. f1 is ((rows+1)*wdim, C) f32; returns (rows*wdim, C)
+    f32 fc2 output (bias included, residual NOT added)."""
     if sc_ref is not None:
         # quantize the fc1 output ONCE; the four conv taps reuse it
         f1 = f1.reshape(rows + 1, wdim, c)
@@ -383,7 +394,7 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
                 acc = term if acc is None else acc + term
         acc = acc.astype(jnp.float32) * (sc_ref[...] * sf) + bc_ref[...]
     else:
-        f1 = f1.astype(sx.dtype).reshape(rows + 1, wdim, c)
+        f1 = f1.astype(dt).reshape(rows + 1, wdim, c)
         f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 0)))
         acc = None
         for di in (0, 1):
@@ -395,15 +406,12 @@ def _conv_tail_kernel(x_ref, a_ref, xn_ref, an_ref, lns_ref, lnb_ref,
                     preferred_element_type=jnp.float32)
                 acc = term if acc is None else acc + term
         acc = acc + bc_ref[...]
-    y = _gelu_in_kernel(acc.astype(jnp.float32), sx.dtype)
+    y = _gelu_in_kernel(acc.astype(jnp.float32), dt)
     if s2_ref is not None:
-        z = _q8_dot(y, w2_ref, s2_ref) + b2_ref[...]
-    else:
-        z = jax.lax.dot_general(
-            y.astype(sx.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + b2_ref[...]
-    out = res1.reshape(rows * wdim, c) + z
-    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+        return _q8_dot(y, w2_ref, s2_ref) + b2_ref[...]
+    return jax.lax.dot_general(
+        y.astype(dt), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
 
 
 def _q8_weight_conv(wc):
@@ -514,3 +522,192 @@ def _fct_bwd(shift, int8, res, g):
 
 
 fused_conv_mlp_tail.defvjp(_fct_fwd, _fct_bwd)
+
+
+# ------------------- c>256-safe tails (ALL LayerNorms stay outside)
+#
+# At c=384 (flagship stage 2) ANY Pallas kernel containing an in-kernel
+# LayerNorm is Mosaic-compile-pathological on the target (three
+# independent confirmations — see ARCHITECTURE.md), while the standalone
+# LN kernels (layernorm.py) and LN-free attention compile fine. These
+# tails therefore take the block's second residual stream ALREADY
+# normalized: the caller runs FusedAddLayerNorm in XLA/standalone-LN
+# (res1 = x + attn_out, y = LN2(res1)) and the kernel fuses only the
+# GEMM-dense remainder:
+#
+#   fused_mlp_tail(res1, y, ...)      = res1 + fc2(gelu(fc1(y)))
+#   fused_conv_mlp_tail_noln(...)     = res1 + fc2(gelu(conv2x2(fc1(y))))
+#
+# Pair with fused_block_attention(shift=...) (no-LN front half) for the
+# full c=384 block: only LN1/add-LN2 remain outside Pallas.
+
+def _mlp_tail_kernel(r_ref, y_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     out_ref, *, s1_ref=None, s2_ref=None):
+    r = r_ref[0]                                      # (ws, W, C)
+    rows, wdim, c = r.shape
+    y = y_ref[0].reshape(rows * wdim, c)
+    if s1_ref is not None:
+        f1 = _q8_dot(y.astype(jnp.float32), w1_ref, s1_ref) + b1_ref[...]
+    else:
+        f1 = jax.lax.dot_general(
+            y, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
+    h = _gelu_in_kernel(f1.astype(jnp.float32), r.dtype)
+    if s2_ref is not None:
+        z = _q8_dot(h, w2_ref, s2_ref) + b2_ref[...]
+    else:
+        z = jax.lax.dot_general(
+            h.astype(r.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[...]
+    out = r.reshape(rows * wdim, c).astype(jnp.float32) + z
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _pallas_mlp_tail(r, y, w1, b1, w2, b2, ws: int, int8: bool = False):
+    b, h, w, c = r.shape
+    grid = (b, h // ws)
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                          memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, ri: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    args = [r, y, w1, _row2(b1), w2, _row2(b2)]
+    kern = _mlp_tail_kernel
+    if int8:
+        w1q, s1 = _q8_weight(w1)
+        w2q, s2 = _q8_weight(w2)
+        args[2], args[4] = w1q, w2q
+        args += [s1, s2]
+
+        def kern(*refs):  # noqa: F811 — int8 ref plumbing
+            _mlp_tail_kernel(*refs[:6], refs[-1],
+                             s1_ref=refs[6], s2_ref=refs[7])
+    in_specs = [x_spec, x_spec] + [full(v.shape) for v in args[2:]]
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+    )(*args)
+
+
+def _compose_mlp_tail(r, y, w1, b1, w2, b2):
+    dt = r.dtype
+    f1 = y @ w1.astype(dt) + b1.astype(dt)
+    return r + (gelu(f1) @ w2.astype(dt) + b2.astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_mlp_tail(r, y, w1, b1, w2, b2, int8: bool = False):
+    """Linear-MLP back half without LN: res1 + fc2(gelu(fc1(y))).
+
+    r = x + attn_out (the block's second residual stream), y = LN2(r)
+    computed by the caller (FusedAddLayerNorm). r, y (B, H, W, C);
+    w1 (C, hidden); w2 (hidden, C). int8=True quantizes both GEMMs."""
+    return _pallas_mlp_tail(r, y, w1, b1, w2, b2, _tail_ws(r.shape[1]),
+                            int8)
+
+
+def _fmt_fwd(r, y, w1, b1, w2, b2, int8):
+    out = _pallas_mlp_tail(r, y, w1, b1, w2, b2, _tail_ws(r.shape[1]),
+                           int8)
+    return out, (r, y, w1, b1, w2, b2)
+
+
+def _fmt_bwd(int8, res, g):
+    _, vjp = jax.vjp(_compose_mlp_tail, *res)
+    return vjp(g)
+
+
+fused_mlp_tail.defvjp(_fmt_fwd, _fmt_bwd)
+
+
+def _conv_tail_noln_kernel(r_ref, y_ref, yn_ref, w1_ref, b1_ref, wc_ref,
+                           bc_ref, w2_ref, b2_ref, out_ref, *,
+                           s1_ref=None, sc_ref=None, s2_ref=None):
+    r = r_ref[0]                                      # (ws, W, C)
+    rows, wdim, c = r.shape
+    y = y_ref[0].reshape(rows * wdim, c)
+    halo = yn_ref[0, 0]                               # (W, C): next strip's
+    t = jnp.concatenate([y, halo], axis=0)            # first y row
+    if s1_ref is not None:
+        f1 = _q8_dot(t.astype(jnp.float32), w1_ref, s1_ref) + b1_ref[...]
+    else:
+        f1 = jax.lax.dot_general(
+            t.astype(r.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
+    # bottom edge: the reference zero-pads the fc1 OUTPUT before the
+    # VALID conv — zero the halo rows on the last strip (fc1(0) != 0)
+    last = pl.program_id(1) == pl.num_programs(1) - 1
+    flag = jnp.where(last, 0.0, 1.0).astype(jnp.float32)
+    f1 = jnp.concatenate(
+        [f1[:rows * wdim], f1[rows * wdim:] * flag], axis=0)
+    z = _conv_gelu_fc2(f1, rows, wdim, c, r.dtype, wc_ref, bc_ref,
+                       w2_ref, b2_ref, sc_ref=sc_ref, s2_ref=s2_ref)
+    out = r.reshape(rows * wdim, c).astype(jnp.float32) + z
+    out_ref[0] = out.astype(out_ref.dtype).reshape(rows, wdim, c)
+
+
+def _pallas_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2, ws: int,
+                           int8: bool = False):
+    b, h, w, c = r.shape
+    nr = h // ws
+    grid = (b, nr)
+    x_spec = pl.BlockSpec((1, ws, w, c), lambda bi, ri: (bi, ri, 0, 0),
+                          memory_space=pltpu.VMEM)
+    nxt = pl.BlockSpec((1, ws, w, c),
+                       lambda bi, ri: (bi, jnp.minimum(ri + 1, nr - 1), 0, 0),
+                       memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda bi, ri: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    # y appears twice: as this strip and (via `nxt`) as the halo view
+    args = [r, y, y, w1, _row2(b1), wc, _row2(bc), w2, _row2(b2)]
+    kern = _conv_tail_noln_kernel
+    if int8:
+        w1q, s1 = _q8_weight(w1)
+        wcq, sc = _q8_weight_conv(wc)
+        w2q, s2 = _q8_weight(w2)
+        args[3], args[5], args[7] = w1q, wcq, w2q
+        args += [s1, sc, s2]
+
+        def kern(*refs):  # noqa: F811 — int8 ref plumbing
+            _conv_tail_noln_kernel(*refs[:9], refs[-1], s1_ref=refs[9],
+                                   sc_ref=refs[10], s2_ref=refs[11])
+    in_specs = [x_spec, x_spec, nxt] + [full(v.shape) for v in args[3:]]
+    return pl.pallas_call(
+        kern, grid=grid, in_specs=in_specs, out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(r.shape, r.dtype),
+    )(*args)
+
+
+def _compose_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2):
+    dt = r.dtype
+    f1 = y @ w1.astype(dt) + b1.astype(dt)
+    f1 = jnp.pad(f1, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        f1, wc.astype(dt), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bc.astype(dt)
+    return r + (gelu(z) @ w2.astype(dt) + b2.astype(dt))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_conv_mlp_tail_noln(r, y, w1, b1, wc, bc, w2, b2,
+                             int8: bool = False):
+    """Conv-MLP back half without LN: res1 + fc2(gelu(conv2x2(fc1(y)))).
+
+    r = x + attn_out, y = LN2(r) from the caller's FusedAddLayerNorm —
+    both in UNSHIFTED coordinates (the caller un-rolls the shifted
+    attention output before the add-LN). wc (2, 2, C, C) flax HWIO."""
+    return _pallas_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2,
+                                  _tail_ws(r.shape[1]), int8)
+
+
+def _fctn_fwd(r, y, w1, b1, wc, bc, w2, b2, int8):
+    out = _pallas_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2,
+                                 _tail_ws(r.shape[1]), int8)
+    return out, (r, y, w1, b1, wc, bc, w2, b2)
+
+
+def _fctn_bwd(int8, res, g):
+    _, vjp = jax.vjp(_compose_conv_tail_noln, *res)
+    return vjp(g)
+
+
+fused_conv_mlp_tail_noln.defvjp(_fctn_fwd, _fctn_bwd)

@@ -644,28 +644,39 @@ def _compose_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh,
     return (out @ wp.astype(x.dtype)) + bp.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
-                          nh: int, scale: float):
-    """qkv projection + W-MSA + output projection in one Pallas kernel.
+                          nh: int, scale: float, shift: int = 0,
+                          int8: bool = False):
+    """qkv projection + W-MSA + output projection in one Pallas kernel —
+    NO in-kernel LayerNorm (the c>256-safe front half: at c=384 any
+    megakernel containing an LN is Mosaic-compile-pathological on the
+    target, while this LN-free variant compiles fine).
 
     x (B, H, W, C); wqkv (C, 3C); bqkv (3C,); wp (C, C); bp (C,) — all
-    compute-dtype; bias (nh, N, N) f32; mask (nW, N, N) or None."""
+    compute-dtype; bias (nh, N, N) f32; mask (nW, N, N) or None.
+    shift > 0 assembles the (-shift, -shift)-rolled strips in VMEM (same
+    folding as fused_block_attention_ln); the output stays in SHIFTED
+    coordinates. int8=True quantizes the qkv/proj GEMMs (serving)."""
     return _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                   nh, scale)
+                                   nh, scale, shift=shift, int8=int8)
 
 
-def _fba_fwd(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale):
+def _fba_fwd(x, wqkv, bqkv, wp, bp, bias, mask, ws, nh, scale, shift,
+             int8):
     out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask, ws,
-                                  nh, scale)
+                                  nh, scale, shift=shift, int8=int8)
     return out, (x, wqkv, bqkv, wp, bp, bias, mask)
 
 
-def _fba_bwd(ws, nh, scale, res, g):
+def _fba_bwd(ws, nh, scale, shift, int8, res, g):
     x, wqkv, bqkv, wp, bp, bias, mask = res
-    _, vjp = jax.vjp(
-        lambda *a: _compose_block_attention(*a, mask, ws, nh, scale),
-        x, wqkv, bqkv, wp, bp, bias)
+
+    def f(x_, *a):
+        xr = (jnp.roll(x_, (-shift, -shift), (1, 2)) if shift else x_)
+        return _compose_block_attention(xr, *a, mask, ws, nh, scale)
+
+    _, vjp = jax.vjp(f, x, wqkv, bqkv, wp, bp, bias)
     return (*vjp(g), None)
 
 

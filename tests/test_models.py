@@ -221,3 +221,38 @@ def test_pos_embed_interpolated_at_off_config_size():
     out = enc.apply({"params": p}, x128)
     diff = float(jnp.abs(out[0] - base[0]).max())
     assert diff > 1e-4, "pos_embed silently dropped at off-config size"
+
+
+def test_swin_block_fast384_path_matches_fallback(monkeypatch):
+    """The c>256 kernel-split branch (round 4: LN in XLA, no-LN Pallas
+    attention + MLP tails) must match the XLA fallback bit-for-tolerance
+    on the SAME params — run with kernels forced on + interpret mode."""
+    import contextlib
+    from jax.experimental import pallas as pl
+    import sodt_tpu.models.swin as swin_mod
+
+    @contextlib.contextmanager
+    def interpret_mode():
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = lambda *a, **kw: orig(*a, interpret=True, **kw)
+            yield
+        finally:
+            pl.pallas_call = orig
+
+    rng = np.random.default_rng(7)
+    # dim > 256 triggers fast384; both block flavors of flagship stage 2
+    for shift, linear in [(0, True), (2, False)]:
+        blk = SwinBlock(dim=288, input_resolution=(16, 16), num_heads=4,
+                        window_size=8, shift_size=shift, linear_mlp=linear)
+        x = jnp.asarray(rng.normal(size=(1, 256, 288)).astype(np.float32))
+        v = blk.init(jax.random.PRNGKey(0), x)
+        ref = blk.apply(v, x)                      # kernels off (CPU)
+        monkeypatch.setattr(swin_mod, "kernels_enabled", lambda: True)
+        with interpret_mode():
+            out = blk.apply(v, x)
+        monkeypatch.setattr(swin_mod, "kernels_enabled",
+                            swin_mod.kernels_enabled, raising=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+        monkeypatch.undo()

@@ -629,3 +629,163 @@ def test_q8_weight_and_dot_exactness():
     manual = (xq @ np.asarray(wq, np.int32)).astype(np.float32) \
         * (np.asarray(ws) * sx)
     np.testing.assert_allclose(np.asarray(out), manual, rtol=1e-6)
+
+
+# -------------------- c>256-safe split (round 4: no-LN kernels)
+
+def test_fused_mlp_tail_matches_compose():
+    """Linear-MLP no-LN tail: res1 + fc2(gelu(fc1(y)))."""
+    from sodt_tpu.pallas.swin_block import (_pallas_mlp_tail,
+                                            _compose_mlp_tail)
+    b, hw, c = 2, 16, 32
+    r = _rand((b, hw, hw, c), 101)
+    y = _rand((b, hw, hw, c), 102)
+    w1 = 0.1 * _rand((c, 4 * c), 103)
+    b1 = 0.1 * _rand((4 * c,), 104)
+    w2 = 0.1 * _rand((4 * c, c), 105)
+    b2 = 0.1 * _rand((c,), 106)
+    ref = _compose_mlp_tail(r, y, w1, b1, w2, b2)
+    with interpret_mode():
+        out = _pallas_mlp_tail(r, y, w1, b1, w2, b2, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_mlp_tail_grad_matches_compose():
+    from sodt_tpu.pallas.swin_block import (fused_mlp_tail,
+                                            _compose_mlp_tail)
+    b, hw, c = 1, 8, 16
+    r = _rand((b, hw, hw, c), 111)
+    y = _rand((b, hw, hw, c), 112)
+    w1 = 0.1 * _rand((c, 2 * c), 113)
+    b1 = 0.1 * _rand((2 * c,), 114)
+    w2 = 0.1 * _rand((2 * c, c), 115)
+    b2 = 0.1 * _rand((c,), 116)
+    args = (r, y, w1, b1, w2, b2)
+    gref = jax.grad(lambda *aa: (_compose_mlp_tail(*aa) ** 2).sum(),
+                    argnums=tuple(range(6)))(*args)
+    with interpret_mode():
+        gfused = jax.grad(lambda *aa: (fused_mlp_tail(*aa) ** 2).sum(),
+                          argnums=tuple(range(6)))(*args)
+    for gr, gf in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_fused_conv_mlp_tail_noln_matches_compose():
+    """Conv-MLP no-LN tail: halo row comes from the NEXT strip of y and
+    the bottom-edge fc1 halo is zeroed (reference pads the fc1 output)."""
+    from sodt_tpu.pallas.swin_block import (_pallas_conv_tail_noln,
+                                            _compose_conv_tail_noln)
+    b, hw, c = 2, 16, 32
+    r = _rand((b, hw, hw, c), 121)
+    y = _rand((b, hw, hw, c), 122)
+    w1 = 0.1 * _rand((c, c), 123)
+    b1 = 0.1 * _rand((c,), 124)
+    wc = 0.1 * _rand((2, 2, c, c), 125)
+    bc = 0.1 * _rand((c,), 126)
+    w2 = 0.1 * _rand((c, c), 127)
+    b2 = 0.1 * _rand((c,), 128)
+    ref = _compose_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2)
+    with interpret_mode():
+        out = _pallas_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_conv_mlp_tail_noln_grad_matches_compose():
+    from sodt_tpu.pallas.swin_block import (fused_conv_mlp_tail_noln,
+                                            _compose_conv_tail_noln)
+    b, hw, c = 1, 8, 16
+    r = _rand((b, hw, hw, c), 131)
+    y = _rand((b, hw, hw, c), 132)
+    w1 = 0.1 * _rand((c, c), 133)
+    b1 = 0.1 * _rand((c,), 134)
+    wc = 0.1 * _rand((2, 2, c, c), 135)
+    bc = 0.1 * _rand((c,), 136)
+    w2 = 0.1 * _rand((c, c), 137)
+    b2 = 0.1 * _rand((c,), 138)
+    args = (r, y, w1, b1, wc, bc, w2, b2)
+    gref = jax.grad(
+        lambda *aa: (_compose_conv_tail_noln(*aa) ** 2).sum(),
+        argnums=tuple(range(8)))(*args)
+    with interpret_mode():
+        gfused = jax.grad(
+            lambda *aa: (fused_conv_mlp_tail_noln(*aa) ** 2).sum(),
+            argnums=tuple(range(8)))(*args)
+    for gr, gf in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_noln_attention_shift_matches_rolled_compose():
+    """fused_block_attention with shift>0 and NO in-kernel LN (the c=384
+    front half) equals the composition on the explicitly rolled map."""
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_block_attention, _compose_block_attention)
+    b, hw, c, nh, ws, sh = 2, 16, 32, 4, 8, 2
+    x = _rand((b, hw, hw, c), 141)
+    wqkv = 0.1 * _rand((c, 3 * c), 142)
+    bqkv = 0.1 * _rand((3 * c,), 143)
+    wp = 0.1 * _rand((c, c), 144)
+    bp = 0.1 * _rand((c,), 145)
+    bias = _rand((nh, ws * ws, ws * ws), 146)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, sh)
+    xr = jnp.roll(x, (-sh, -sh), (1, 2))
+    ref = _compose_block_attention(xr, wqkv, bqkv, wp, bp, bias, mask,
+                                   ws, nh, scale)
+    with interpret_mode():
+        out = _pallas_block_attention(x, wqkv, bqkv, wp, bp, bias, mask,
+                                      ws, nh, scale, shift=sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_noln_block_split_matches_xla_block():
+    """End-to-end c>256 block split (LN1 -> no-LN attn(shift) -> unroll ->
+    add+LN2 -> no-LN conv tail) equals the plain XLA block composition."""
+    from sodt_tpu.pallas.window_attention import (
+        _pallas_block_attention, _compose_block_attention)
+    from sodt_tpu.pallas.swin_block import (_pallas_conv_tail_noln,
+                                            _compose_conv_tail_noln)
+    from sodt_tpu.pallas.layernorm import _reference_ln
+    b, hw, c, nh, ws, sh = 1, 16, 32, 4, 8, 2
+    x = _rand((b, hw, hw, c), 151)
+    lns1 = 1.0 + 0.1 * _rand((c,), 152)
+    lnb1 = 0.1 * _rand((c,), 153)
+    lns2 = 1.0 + 0.1 * _rand((c,), 154)
+    lnb2 = 0.1 * _rand((c,), 155)
+    wqkv = 0.1 * _rand((c, 3 * c), 156)
+    bqkv = 0.1 * _rand((3 * c,), 157)
+    wp = 0.1 * _rand((c, c), 158)
+    bp = 0.1 * _rand((c,), 159)
+    w1 = 0.1 * _rand((c, c), 160)
+    b1 = 0.1 * _rand((c,), 161)
+    wc = 0.1 * _rand((2, 2, c, c), 162)
+    bc = 0.1 * _rand((c,), 163)
+    w2 = 0.1 * _rand((c, c), 164)
+    b2 = 0.1 * _rand((c,), 165)
+    bias = _rand((nh, ws * ws, ws * ws), 166)
+    scale = (c // nh) ** -0.5
+    mask = shift_attn_mask(hw, hw, ws, sh)
+
+    # reference: the plain (pre-round-3) XLA block
+    x1 = _reference_ln(x, lns1, lnb1, 1e-5)
+    ar = _compose_block_attention(
+        jnp.roll(x1, (-sh, -sh), (1, 2)), wqkv, bqkv, wp, bp, bias, mask,
+        ws, nh, scale)
+    a_u = jnp.roll(ar, (sh, sh), (1, 2))
+    s = x + a_u
+    yn = _reference_ln(s, lns2, lnb2, 1e-5)
+    ref = _compose_conv_tail_noln(s, yn, w1, b1, wc, bc, w2, b2)
+
+    with interpret_mode():
+        a = _pallas_block_attention(x1, wqkv, bqkv, wp, bp, bias, mask,
+                                    ws, nh, scale, shift=sh)
+        a = jnp.roll(a, (sh, sh), (1, 2))
+        s2 = x + a
+        y2 = _reference_ln(s2, lns2, lnb2, 1e-5)
+        out = _pallas_conv_tail_noln(s2, y2, w1, b1, wc, bc, w2, b2, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
