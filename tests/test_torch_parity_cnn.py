@@ -449,3 +449,46 @@ def test_import_torch_cli_roundtrip(refc, tmp_path):
     # randomized BN running stats amplify f32 accumulation-order noise;
     # exact-math parity is pinned by the module goldens above
     np.testing.assert_allclose(dec, dec_ref.numpy(), atol=5e-3, rtol=1e-3)
+
+
+def test_parity_check_synthetic_smoke(refc, tmp_path):
+    """tools/parity_check.py one-command recipe: torch .pt -> orbax ->
+    mAP protocol, end-to-end on the synthetic fixture (the real-VEDAI
+    invocation is the same command with --data pointing at the dataset
+    and --ref-map50 at the reference number)."""
+    import importlib
+    from pathlib import Path
+    common = refc
+    rmodel = importlib.import_module("basics.models.model")
+
+    from sodt_tpu.models import build_model
+    cfg = str(Path(__file__).parent / "tiny.yaml")
+    spec = build_model(cfg, ch_in=3, input_mode="RGB").spec
+
+    torch.manual_seed(4)
+    mods = [common.Conv(3, 16, 3, 2), common.Conv(16, 32, 3, 2),
+            common.C3(32, 32, 1), common.Conv(32, 32, 1, 1)]
+    det = rmodel.Detect(spec.nc, [list(a) for a in spec.anchors], [32])
+    det.stride = torch.tensor([float(s) for s in spec.detect_strides])
+    det.anchors /= det.stride.view(-1, 1, 1)
+
+    class Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch.nn.ModuleList(mods + [det])
+
+    sd_path = tmp_path / "ref.pt"
+    torch.save({"model": Net().eval().state_dict(), "ema": None}, sd_path)
+    data_yaml = tmp_path / "data.yaml"
+    data_yaml.write_text(f"nc: {spec.nc}\nnames: [a, b, c]\nval: unused\n")
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parity_check import run
+    res = run(str(sd_path), cfg, str(data_yaml),
+              out=str(tmp_path / "imported"), input_mode="RGB",
+              nc=spec.nc, img_size=64, batch_size=2, synthetic=True,
+              synthetic_n=4, bf16=False, ref_map50=50.0,
+              save_dir=str(tmp_path / "parity"))
+    assert set(res) >= {"map50", "map", "ref_map50", "delta_pts", "pass"}
+    assert res["ref_map50"] == 0.5
+    assert isinstance(res["pass"], bool)
