@@ -650,3 +650,144 @@ def _rect_eval_batches(dataset, batch_size: int, img_size: int,
             "ratio_pads": rps,
             "stems": stems, "net_shape": (bh, bw),
         }
+
+
+# ----------------------------------------------- rect TRAINING (round 4)
+
+def _rect_augment_one(img, ir, lab, msk, key, *, hw, hyp):
+    """Non-mosaic rect-branch augmentation for ONE letterboxed sample
+    (reference datasets.py:580-607,869-887: letterbox to the batch shape
+    -> random_perspective -> HSV -> flips; mosaic and rect are mutually
+    exclusive in the reference, datasets.py:538).
+
+    img/ir: (bh, bw, 3) f32 0-255 already letterboxed on host;
+    lab: (M, 5) cls+xywhn in the letterboxed frame."""
+    bh, bw = hw
+    k_p, k_h, k_f = jax.random.split(key, 3)
+    p = PerspectiveParams(degrees=hyp.get("degrees", 0.0),
+                          translate=hyp.get("translate", 0.1),
+                          scale=hyp.get("scale", 0.5),
+                          shear=hyp.get("shear", 0.0),
+                          perspective=hyp.get("perspective", 0.0))
+    lab_px = xywhn2xyxy(lab[:, 1:5], bw, bh)
+    img, ir, labels, mask = random_perspective(img, ir, lab_px, msk, k_p,
+                                               p, (bh, bw))
+    img = hsv_augment(img, k_h, hyp.get("hsv_h", 0.015),
+                      hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4))
+    cx = (labels[:, 0] + labels[:, 2]) / 2 / bw
+    cy = (labels[:, 1] + labels[:, 3]) / 2 / bh
+    ww = (labels[:, 2] - labels[:, 0]) / bw
+    hh = (labels[:, 3] - labels[:, 1]) / bh
+    lab_n = jnp.stack([cx, cy, ww, hh], axis=-1)
+    img, ir, targets, mask = flips(
+        img, ir, jnp.concatenate([lab[:, :1], lab_n], -1) * 1.0, mask,
+        k_f, hyp.get("flipud", 0.0), hyp.get("fliplr", 0.5))
+    return img / 255.0, ir / 255.0, targets, mask
+
+
+def make_rect_train_batches(dataset, batch_size: int, img_size: int,
+                            hyp: dict, *, seed: int = 0,
+                            max_labels_per_image: int = 30,
+                            stride: int = 32, pad: float = 0.0,
+                            epochs: int | None = None) -> Iterator[dict]:
+    """Rect TRAINING (reference Train.py --rect + datasets.py:724-747).
+
+    Images are grouped by aspect ratio into fixed batches, each batch
+    letterboxed to its own ceil-to-stride shape; augmentation is the
+    reference's non-mosaic branch at that shape. Under jit each DISTINCT
+    batch shape compiles the augment and train step once — a handful of
+    shapes on real datasets, exactly one (square) on VEDAI whose images
+    are uniformly 1024x1024.
+
+    Deviation (documented in PARITY.md): batch MEMBERSHIP is fixed by
+    the aspect-ratio sort as in the reference; batch order and the
+    within-batch sample order reshuffle per epoch (the reference's rect
+    path iterates sequentially, giving zero shuffling — strictly less
+    stochastic than this).
+    """
+    from pathlib import Path  # noqa: F401 — parity with _rect_eval_batches
+    from ..ops.letterbox import letterbox_image_np, letterbox_params
+
+    n = len(dataset)
+    if n < batch_size:
+        raise ValueError(f"dataset has {n} images < batch {batch_size}")
+    m0 = max_labels_per_image
+    files = getattr(dataset, "img_files", None)
+    if files is not None:
+        from PIL import Image
+        whs = []
+        for f in files:
+            with Image.open(f) as im:
+                whs.append(im.size)
+        shapes0 = np.asarray([(h, w) for w, h in whs], np.float64)
+    else:
+        shapes0 = np.asarray([dataset[i][0].shape[:2] for i in range(n)],
+                             np.float64)
+    ar = shapes0[:, 0] / shapes0[:, 1]                  # h / w
+    order = np.argsort(ar)
+
+    # fixed batch membership + per-batch static shapes (datasets.py:735-747)
+    groups, shapes = [], []
+    nb = n // batch_size                                # drop the remainder
+    for gi in range(nb):
+        idx = order[gi * batch_size:(gi + 1) * batch_size]
+        ari = ar[idx]
+        shape = [1.0, 1.0]
+        if ari.max() < 1:
+            shape = [float(ari.max()), 1.0]
+        elif ari.min() > 1:
+            shape = [1.0, float(1.0 / ari.min())]
+        bh, bw = (np.ceil(np.asarray(shape) * img_size / stride
+                          + pad).astype(int) * stride).tolist()
+        groups.append(idx)
+        shapes.append((bh, bw))
+
+    rng = np.random.default_rng(seed)
+    aug_cache: dict[tuple, object] = {}
+
+    def aug_for(hw):
+        if hw not in aug_cache:
+            fn = functools.partial(_rect_augment_one, hw=hw, hyp=hyp)
+
+            def one(img_u8, ir_u8, lab, msk, key):
+                return fn(img_u8.astype(jnp.float32),
+                          ir_u8.astype(jnp.float32), lab, msk, key)
+
+            aug_cache[hw] = jax.jit(jax.vmap(one))
+        return aug_cache[hw]
+
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        for gi in rng.permutation(nb):
+            idx = groups[gi].copy()
+            rng.shuffle(idx)
+            bh, bw = shapes[gi]
+            rgbs, irs, labs, msks = [], [], [], []
+            for i in idx:
+                rgb, ir, lab = dataset[int(i)]
+                h1, w1 = rgb.shape[:2]
+                rgbs.append(letterbox_image_np(rgb, (bh, bw),
+                                               scaleup=True))
+                irs.append(letterbox_image_np(ir, (bh, bw), scaleup=True))
+                (r, _), _, (dw, dh) = letterbox_params(
+                    (h1, w1), (bh, bw), scaleup=True)
+                lab = lab.copy()
+                if len(lab):
+                    lab[:, 1] = (lab[:, 1] * w1 * r + dw) / bw
+                    lab[:, 2] = (lab[:, 2] * h1 * r + dh) / bh
+                    lab[:, 3] = lab[:, 3] * w1 * r / bw
+                    lab[:, 4] = lab[:, 4] * h1 * r / bh
+                pl_, pm = pad_labels(lab, m0)
+                labs.append(pl_)
+                msks.append(pm)
+            keys = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(seed),
+                                   epoch * nb + int(gi)), batch_size)
+            img, irb, targets, tmask = aug_for((bh, bw))(
+                jnp.asarray(np.stack(rgbs)), jnp.asarray(np.stack(irs)),
+                jnp.asarray(np.stack(labs)), jnp.asarray(np.stack(msks)),
+                keys)
+            yield {"img": img, "ir": irb, "targets": targets,
+                   "tmask": tmask, "epoch": epoch,
+                   "net_shape": (bh, bw)}
+        epoch += 1

@@ -61,6 +61,7 @@ class TrainConfig:
     autoanchor: bool = True          # reference default (--noautoanchor off)
     image_weights: bool = False      # class-weighted image resampling
     multi_scale: bool = False        # +/-50%% size buckets (Train.py:396-402)
+    rect: bool = False               # rect training (datasets.py:724-747)
     seed: int = 0
     eval_every: int = 1
     max_labels: int = 30
@@ -264,7 +265,7 @@ def train(tc: TrainConfig) -> dict:
     local_bs = tc.batch_size // n_proc
     loader_seed = tc.seed + jax.process_index() * 1_000_003
     feed = None
-    if (tc.scan_epoch is not False and not tc.multi_scale
+    if (tc.scan_epoch is not False and not tc.multi_scale and not tc.rect
             and n_proc == 1
             and tc.batch_size % n_dev == 0):
         feed = make_bank_feed(
@@ -280,6 +281,19 @@ def train(tc: TrainConfig) -> dict:
         batches = None
         print(f"feed: device bank ({len(train_ds)} tiles in HBM), "
               f"epoch-scan dispatch over {n_dev} device(s)")
+    elif tc.rect:
+        # rect training (reference Train.py --rect): AR-grouped static
+        # per-batch shapes, non-mosaic augmentation; each distinct shape
+        # compiles once (exactly one on square VEDAI). Mutually exclusive
+        # with mosaic-dependent features, as in the reference.
+        if tc.multi_scale or tc.image_weights:
+            raise ValueError("--rect is incompatible with --multi-scale "
+                             "and --image-weights (reference semantics: "
+                             "rect disables mosaic)")
+        from ..data.loader import make_rect_train_batches
+        batches = make_rect_train_batches(
+            train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
+            max_labels_per_image=tc.max_labels)
     else:
         batches = make_train_batches(
             train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
@@ -303,7 +317,8 @@ def train(tc: TrainConfig) -> dict:
             losses = []
             for bi in range(nb):
                 batch = next(batches)
-                batch = {k: v for k, v in batch.items() if k != "epoch"}
+                batch = {k: batch[k] for k in
+                         ("img", "ir", "targets", "tmask")}
                 # multi-host: each process feeds its LOCAL shard without
                 # a gather (mesh.py host_shard_batch); single process is
                 # the plain device_put sharding

@@ -506,3 +506,70 @@ def test_rect_export_ratio_pad_roundtrip():
     gt = np.asarray(xywhn2xyxy(
         jnp.asarray(ds.labels[int(b["indices"][0])][:, 1:5]), 512, 512))
     np.testing.assert_allclose(back[:, :4], gt, atol=0.6)
+
+
+class _RectDs:
+    """Tiny mixed-aspect dataset for rect-training tests: (rgb, ir, lab)
+    with labels cls+xywhn, like VedaiDataset."""
+
+    def __init__(self, shapes, seed=0):
+        self.shapes = shapes
+        rng = np.random.default_rng(seed)
+        self.labels = [np.array([[1, 0.5, 0.5, 0.2, 0.3],
+                                 [0, 0.3, 0.6, 0.1, 0.1]], np.float32)
+                       for _ in shapes]
+        self._rng = rng
+
+    def __len__(self):
+        return len(self.shapes)
+
+    def __getitem__(self, i):
+        h, w = self.shapes[i]
+        rng = np.random.default_rng(100 + i)
+        rgb = rng.integers(0, 255, (h, w, 3), np.uint8)
+        return rgb, rgb.copy(), self.labels[i].copy()
+
+
+def test_rect_train_batches_mixed_aspect():
+    """Rect training: AR-grouped batches each get their own static
+    stride-multiple shape; labels stay normalized; wide and tall images
+    land in different batches (reference datasets.py:724-747)."""
+    from sodt_tpu.data.loader import make_rect_train_batches
+    shapes = [(64, 128)] * 4 + [(128, 64)] * 4        # wide + tall
+    ds = _RectDs(shapes)
+    hyp = {"degrees": 0.0, "translate": 0.05, "scale": 0.2, "shear": 0.0,
+           "perspective": 0.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+           "flipud": 0.0, "fliplr": 0.5}
+    seen_shapes = set()
+    it = make_rect_train_batches(ds, 4, 128, hyp, seed=0, epochs=2,
+                                 max_labels_per_image=8)
+    nb = 0
+    for b in it:
+        nb += 1
+        bh, bw = b["net_shape"]
+        assert bh % 32 == 0 and bw % 32 == 0
+        assert b["img"].shape == (4, bh, bw, 3)
+        assert b["img"].dtype == jnp.float32
+        assert float(b["img"].min()) >= 0 and float(b["img"].max()) <= 1
+        t = np.asarray(b["targets"])
+        m = np.asarray(b["tmask"])
+        assert t.shape == (4, 8, 5) and m.shape == (4, 8)
+        assert (t[m][:, 1:] >= -1e-6).all() and (t[m][:, 1:] <= 1 + 1e-6).all()
+        seen_shapes.add((bh, bw))
+    assert nb == 4  # 2 groups x 2 epochs
+    # wide (ar=0.5) -> (64, 128); tall (ar=2.0) -> (128, 64)
+    assert seen_shapes == {(64, 128), (128, 64)}
+
+
+def test_rect_train_batches_square_dataset_is_one_shape():
+    """On a square dataset (VEDAI: uniformly 1024x1024) rect training
+    degenerates to exactly ONE square shape == img_size — the measured
+    no-op that justified not porting it earlier; now it simply holds."""
+    from sodt_tpu.data.loader import make_rect_train_batches
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    ds = SyntheticVedai(n=8, img_size=96)
+    hyp = {"translate": 0.05, "scale": 0.2, "fliplr": 0.5}
+    shapes = {b["net_shape"]
+              for b in make_rect_train_batches(ds, 4, 96, hyp, seed=0,
+                                               epochs=1)}
+    assert shapes == {(96, 96)}

@@ -60,6 +60,10 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--noautoanchor", action="store_false", dest="autoanchor")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--multi-scale", action="store_true")
+    p.add_argument("--rect", action="store_true",
+                   help="rectangular training (reference Train.py --rect):"
+                        " aspect-ratio-grouped static batch shapes, "
+                        "non-mosaic augmentation")
     p.add_argument("--nbs", type=int, default=64,
                    help="nominal batch size for gradient accumulation")
     p.add_argument("--save-period", type=int, default=-1,
@@ -94,7 +98,8 @@ def parse_args(argv=None, return_evolve: bool = False):
                        resume=a.resume, down_factor=a.down_factor,
                        autoanchor=a.autoanchor,
                        image_weights=a.image_weights,
-                       multi_scale=a.multi_scale, nbs=a.nbs,
+                       multi_scale=a.multi_scale, rect=a.rect,
+                       nbs=a.nbs,
                        wandb=a.wandb, save_period=a.save_period,
                        freeze=tuple(s for s in a.freeze.split(",") if s),
                        scan_epoch={None: None, "auto": None, "on": True,
