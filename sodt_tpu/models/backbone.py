@@ -114,7 +114,7 @@ class ImageEncoderViT(nn.Module):
                           name=f"stage1_{i}")(x)
             if i in (4, 5):
                 taps.append(x)
-        p3 = jnp.concatenate(taps, axis=-1)  # (B, h, w, 2*embed_dim)
+        # taps concat -> P3 happens inside the neck below (sliced GEMMs)
 
         x = PatchMerging(self.embed_dim, dtype=self.dtype,
                          name="pmerging1")(x, (h, w))
@@ -140,9 +140,19 @@ class ImageEncoderViT(nn.Module):
                       linear_mlp=True, dtype=self.dtype, name="stage3_0")(x)
         p5 = x
 
-        # 1x1 necks (backbone_vit.py:167-187,265-270)
-        p3 = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
-                     name="neck1")(p3)
+        # 1x1 necks (backbone_vit.py:167-187,265-270).
+        # neck1 consumes the concat of the two stage-1 taps; computing it
+        # as two sliced GEMMs summed (conv(concat(a,b), W) ==
+        # a@W[:c] + b@W[c:]) skips materializing the (B, H, W, 2C) concat
+        # in HBM (~4 ms pad/concat fusion at batch 64 in the round-3
+        # profile). Param tree is the identical (1, 1, 2C, out) "neck1"
+        # conv kernel, so checkpoints and weight import are unaffected.
+        from .swin import ConvParams
+        wn, _ = ConvParams(self.out_chans, (1, 1), use_bias=False,
+                           name="neck1")(2 * self.embed_dim)
+        wn = wn[0, 0].astype(self.dtype)              # (2C, out)
+        c1 = self.embed_dim
+        p3 = taps[0] @ wn[:c1] + taps[1] @ wn[c1:]
         p4 = nn.Conv(self.out_chans, (1, 1), use_bias=False, dtype=self.dtype,
                      name="neck2")(p4)
         p5 = nn.Conv(2 * self.out_chans, (1, 1), use_bias=False,

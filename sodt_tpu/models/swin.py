@@ -113,14 +113,16 @@ class ConvParams(nn.Module):
 
     features: int
     kernel_size: tuple[int, int]
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, in_features: int):
         kh, kw = self.kernel_size
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (kh, kw, in_features, self.features), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros,
-                       (self.features,), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
         return k, b
 
 

@@ -290,6 +290,10 @@ def train(tc: TrainConfig) -> dict:
             raise ValueError("--rect is incompatible with --multi-scale "
                              "and --image-weights (reference semantics: "
                              "rect disables mosaic)")
+        if n_proc > 1:
+            # per-process AR grouping would give each host a DIFFERENT
+            # batch shape at the same step — SPMD needs one global shape
+            raise ValueError("--rect is single-host only")
         from ..data.loader import make_rect_train_batches
         batches = make_rect_train_batches(
             train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,

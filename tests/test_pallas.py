@@ -789,3 +789,38 @@ def test_noln_block_split_matches_xla_block():
         out = _pallas_conv_tail_noln(s2, y2, w1, b1, wc, bc, w2, b2, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_noln_tails_int8_close_to_compose():
+    """int8 variants of the c>256-safe tails stay within per-channel-int8
+    tolerance of the f32 composition (and actually quantize)."""
+    from sodt_tpu.pallas.swin_block import (
+        _pallas_mlp_tail, _compose_mlp_tail,
+        _pallas_conv_tail_noln, _compose_conv_tail_noln)
+    b, hw, c = 2, 16, 32
+    r = _rand((b, hw, hw, c), 171)
+    y = _rand((b, hw, hw, c), 172)
+    w1l = 0.1 * _rand((c, 4 * c), 173)
+    b1l = 0.1 * _rand((4 * c,), 174)
+    w2l = 0.1 * _rand((4 * c, c), 175)
+    b2l = 0.1 * _rand((c,), 176)
+    ref = _compose_mlp_tail(r, y, w1l, b1l, w2l, b2l)
+    with interpret_mode():
+        out = _pallas_mlp_tail(r, y, w1l, b1l, w2l, b2l, 8, int8=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert 0 < rel < 0.05, f"int8 mlp tail rel err {rel}"
+
+    w1 = 0.1 * _rand((c, c), 177)
+    b1 = 0.1 * _rand((c,), 178)
+    wc = 0.1 * _rand((2, 2, c, c), 179)
+    bc = 0.1 * _rand((c,), 180)
+    w2 = 0.1 * _rand((c, c), 181)
+    b2 = 0.1 * _rand((c,), 182)
+    ref = _compose_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2)
+    with interpret_mode():
+        out = _pallas_conv_tail_noln(r, y, w1, b1, wc, bc, w2, b2, 8,
+                                     int8=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    rel = err.max() / np.abs(np.asarray(ref)).max()
+    assert 0 < rel < 0.05, f"int8 conv tail rel err {rel}"
