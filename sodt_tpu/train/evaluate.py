@@ -129,6 +129,110 @@ def cache_rel_bias(model, variables, img_size: int):
     return {**variables, **caches}
 
 
+class EvalRunner:
+    """Reusable eval executables: the jitted per-batch step, a lazily
+    jitted whole-pass lax.scan runner, and a jitted rel-pos bias-cache
+    refresh. Build ONE per training run and pass it to evaluate() via
+    `runner=`: per-epoch eval then reuses the compiled programs instead
+    of re-tracing them each epoch — on a remote-compile rig every
+    re-trace is a fresh multi-second compile (the reference keeps its
+    eval model resident across epochs the same way, Train.py:505-516).
+    """
+
+    def __init__(self, model, **step_kw):
+        self.model = model
+        self.step = make_eval_step(model, **step_kw)
+        self._scan_fn = None
+        self._cache_fn = None
+
+    def scan_fn(self):
+        if self._scan_fn is None:
+            step = self.step
+
+            @jax.jit
+            def run_all(variables, imgs, irs, tg, tm):
+                def body(_, xs):
+                    im, ir_, t_, m_ = xs
+                    return None, step(variables, im, ir_, t_, m_)
+                # None xs entries are empty pytrees: scan passes them thru
+                _, out = jax.lax.scan(body, None, (imgs, irs, tg, tm))
+                return out
+
+            self._scan_fn = run_all
+        return self._scan_fn
+
+    def cache_bias(self, variables, img_size: int):
+        """cache_rel_bias, but through one persistent jitted apply."""
+        if isinstance(variables, (list, tuple)):
+            return [self.cache_bias(v, img_size) for v in variables]
+        from jax.tree_util import tree_flatten_with_path, keystr
+        leaves, _ = tree_flatten_with_path(variables.get("params", {}))
+        if not any("relative_position_bias_table" in keystr(p)
+                   for p, _ in leaves):
+            return variables
+        if self._cache_fn is None:
+            model = self.model
+            x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+
+            @jax.jit
+            def cf(v):
+                return model.apply(v, x0, x0, train=False,
+                                   mutable=["bias_cache"])[1]
+
+            self._cache_fn = cf
+        return {**variables, **self._cache_fn(variables)}
+
+
+def _try_scan_eval(step, variables, batches, scan, runner=None):
+    """Run every eval (forward + NMS) pass in ONE jitted lax.scan.
+
+    Returns (batch dicts carrying "_results", wall seconds) when
+    eligible, else (the batches unchanged, None). Eligible = >1 batch,
+    one uniform image shape (rect eval keeps per-batch dispatch), and —
+    under auto mode (scan=None) — stacked images within ~1 GB.
+    """
+    blist = list(batches)
+    if len(blist) < 2:
+        return iter(blist), None
+    shapes = {tuple(b["img"].shape) for b in blist}
+    if len(shapes) != 1:
+        return iter(blist), None
+    itemsize = np.dtype(blist[0]["img"].dtype).itemsize
+    est = 2 * len(blist) * int(np.prod(next(iter(shapes)))) * itemsize
+    if scan is None and est > 1e9:
+        return iter(blist), None
+    has_t = all(b.get("targets") is not None for b in blist)
+    imgs = jnp.stack([b["img"] for b in blist])
+    irs = jnp.stack([b["ir"] for b in blist])
+    tg = jnp.stack([b["targets"] for b in blist]) if has_t else None
+    tm = jnp.stack([b["tmask"] for b in blist]) if has_t else None
+
+    if runner is not None:
+        run_all = runner.scan_fn()
+    else:
+        @jax.jit
+        def run_all(variables, imgs, irs, tg, tm):
+            def body(_, xs):
+                im, ir_, t_, m_ = xs
+                return None, step(variables, im, ir_, t_, m_)
+            # None xs entries are empty pytrees: scan passes them through
+            _, out = jax.lax.scan(body, None, (imgs, irs, tg, tm))
+            return out
+
+    t0 = time.perf_counter()
+    dets_a, valid_a, losses_a = run_all(variables, imgs, irs, tg, tm)
+    dets_a = np.asarray(dets_a)
+    valid_a = np.asarray(valid_a)
+    if losses_a is not None:
+        losses_a = {k: np.asarray(v) for k, v in losses_a.items()}
+    t_scan = time.perf_counter() - t0
+    for i, b in enumerate(blist):
+        li = ({k: v[i] for k, v in losses_a.items()}
+              if losses_a is not None else None)
+        b["_results"] = (dets_a[i], valid_a[i], li)
+    return iter(blist), t_scan
+
+
 def evaluate(model, variables, batches, *, nc: int, img_size: int,
              conf_thres: float = 0.001, iou_thres: float = 0.6,
              max_det: int = 300, top_k: int = 4096, merge: bool = True,
@@ -137,17 +241,42 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
              save_json: str | None = None, save_txt: str | None = None,
              augment: bool = False, anno_json: str | None = None,
              cache_bias: bool = True, save_conf: bool = False,
-             save_hybrid: bool = False):
+             save_hybrid: bool = False, scan: bool | None = None,
+             runner: EvalRunner | None = None):
     """Run the full eval protocol. Returns a metrics dict.
 
     `batches` yields dicts from data.loader.make_eval_batches.
+
+    `scan`: run ALL forward+NMS passes in ONE jitted lax.scan dispatch
+    and fetch the stacked detections once, instead of one dispatch +
+    fetch per batch — on a dispatch-latency-bound rig (tunnel-attached
+    dev chip) per-epoch eval cost drops to a single round trip. None =
+    auto: scan when there are >1 uniform-shape batches and the stacked
+    images fit a ~1 GB budget. The host-side matching/AP loop is
+    identical either way.
+
+    `runner`: a prebuilt EvalRunner (must have been constructed with the
+    same step kwargs) — reuses its compiled step/scan/bias-cache programs
+    instead of re-tracing them, for callers that evaluate repeatedly
+    (trainer per-epoch eval).
     """
-    if cache_bias:
-        variables = cache_rel_bias(model, variables, img_size)
-    step = make_eval_step(model, conf_thres=conf_thres, iou_thres=iou_thres,
-                          max_det=max_det, top_k=top_k, merge=merge,
-                          loss_cfg=loss_cfg, augment=augment,
-                          hybrid_labels=save_hybrid)
+    if runner is not None:
+        if cache_bias:
+            variables = runner.cache_bias(variables, img_size)
+        step = runner.step
+    else:
+        if cache_bias:
+            variables = cache_rel_bias(model, variables, img_size)
+        step = make_eval_step(model, conf_thres=conf_thres,
+                              iou_thres=iou_thres, max_det=max_det,
+                              top_k=top_k, merge=merge, loss_cfg=loss_cfg,
+                              augment=augment, hybrid_labels=save_hybrid)
+
+    if scan is not False:
+        batches, t_scan = _try_scan_eval(step, variables, batches, scan,
+                                         runner)
+    else:
+        t_scan = None
     iouv = np.linspace(0.5, 0.95, 10)
     stats = []
     cm = ConfusionMatrix(nc=nc) if confusion else None
@@ -157,12 +286,16 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
     jdict = []  # COCO-format detections (reference test.py:194-204)
 
     for batch in batches:
+        pre = batch.pop("_results", None)
         t0 = time.perf_counter()
-        dets, valid, losses = step(
-            variables, batch["img"], batch["ir"],
-            batch.get("targets"), batch.get("tmask"))
-        dets = np.asarray(dets)
-        valid = np.asarray(valid)
+        if pre is not None:            # scanned eval: precomputed results
+            dets, valid, losses = pre
+        else:
+            dets, valid, losses = step(
+                variables, batch["img"], batch["ir"],
+                batch.get("targets"), batch.get("tmask"))
+            dets = np.asarray(dets)
+            valid = np.asarray(valid)
         t_infer += time.perf_counter() - t0
         if losses is not None:
             losses_acc.append({k: float(v) for k, v in losses.items()})
@@ -239,6 +372,8 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
                             fh.write(f"{int(cls_)} {cx:.6f} {cy:.6f} "
                                      f"{bw:.6f} {bh:.6f}{tail}\n")
 
+    if t_scan is not None:
+        t_infer = t_scan               # the one scan dispatch did the work
     out: dict[str, Any] = {"seen": seen,
                            "speed_ms": 1000 * t_infer / max(seen, 1)}
     if stats:

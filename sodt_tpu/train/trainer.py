@@ -306,6 +306,12 @@ def train(tc: TrainConfig) -> dict:
             multi_scale=tc.multi_scale)
 
     metrics_out: dict[str, Any] = {}
+    # one set of eval executables for the whole run: per-epoch evaluate()
+    # reuses the compiled step/scan/bias-cache instead of re-tracing every
+    # epoch (each re-trace is a fresh compile — the dominant per-epoch
+    # overhead on a remote-compile rig)
+    from .evaluate import EvalRunner
+    eval_runner = EvalRunner(model)
     t_start = time.time()
     for epoch in range(start_epoch, tc.epochs):
         t_epoch = time.time()
@@ -351,7 +357,8 @@ def train(tc: TrainConfig) -> dict:
             m = evaluate(model, evars,
                          make_eval_batches(val_ds, tc.batch_size,
                                            tc.img_size),
-                         nc=nc, img_size=tc.img_size, names=names)
+                         nc=nc, img_size=tc.img_size, names=names,
+                         runner=eval_runner)
             fit = fitness_from_metrics(m)
             for c, v in (m.get("per_class") or {}).items():
                 if c < nc:

@@ -100,3 +100,45 @@ def test_hybrid_labels_seed_nms():
     assert len(d) == 1
     np.testing.assert_allclose(d[0, :4], [24, 24, 40, 40], atol=0.5)
     assert d[0, 4] > 0.99 and int(d[0, 5]) == 1
+
+
+def test_evaluate_scan_matches_per_batch():
+    """scan=True (one lax.scan dispatch for all eval batches) must give
+    bit-identical metrics to the per-batch dispatch path — same step, one
+    round trip instead of K."""
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x0, x0, train=False)
+    ds = SyntheticVedai(n=8, img_size=64, nc=3)
+    kw = dict(nc=3, img_size=64, top_k=256, max_det=50)
+    m_scan = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                      scan=True, **kw)
+    m_loop = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                      scan=False, **kw)
+    assert m_scan["seen"] == m_loop["seen"] == 8
+    assert m_scan["map50"] == m_loop["map50"]
+    assert m_scan["map"] == m_loop["map"]
+    assert m_scan["nt"] == m_loop["nt"]
+
+
+def test_evaluate_runner_reuses_compiled_programs():
+    """Trainer-style repeated eval through one EvalRunner must (a) match
+    the runnerless path exactly and (b) reuse the same jitted scan
+    executable across calls instead of re-tracing per epoch."""
+    from sodt_tpu.train.evaluate import EvalRunner
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x0, x0, train=False)
+    ds = SyntheticVedai(n=8, img_size=64, nc=3)
+    kw = dict(nc=3, img_size=64, top_k=256, max_det=50)
+    runner = EvalRunner(model, top_k=256, max_det=50)
+    m1 = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                  runner=runner, **kw)
+    fn_after_first = runner._scan_fn
+    m2 = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                  runner=runner, **kw)
+    m0 = evaluate(model, variables, make_eval_batches(ds, 2, 64), **kw)
+    assert fn_after_first is not None
+    assert runner._scan_fn is fn_after_first        # no per-call rebuild
+    assert m1["map50"] == m2["map50"] == m0["map50"]
+    assert m1["map"] == m0["map"] and m1["nt"] == m0["nt"]
