@@ -83,6 +83,8 @@ def main():
     import jax
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
 
     # Backend init is the one step that depends on external hardware (on
     # this rig a tunnel relay). Round 3 lost its entire measurement to an

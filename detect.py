@@ -89,6 +89,8 @@ def main(argv=None):
     import jax
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import yaml
     from sodt_tpu.models import build_model
@@ -106,7 +108,8 @@ def main(argv=None):
     model = build_model(a.cfg, ch_in=ch_in, nc=nc, dtype=dtype,
                         input_mode=a.input_mode)
     if a.weights:
-        variables = eval_variables(load_checkpoint(a.weights))
+        from sodt_tpu.utils.downloads import attempt_download
+        variables = eval_variables(load_checkpoint(attempt_download(a.weights)))
     else:
         x0 = jnp.zeros((1, a.img_size, a.img_size, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), x0, x0, train=False)

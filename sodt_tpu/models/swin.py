@@ -415,6 +415,37 @@ class SwinBlock(nn.Module):
         return out.reshape(b, h * w, c) if tokens_in else out
 
 
+class _PatchReduction(nn.Module):
+    """Linear(4C->2C) over the 2x2 neighborhood, applied as ONE stride-2
+    conv instead of four strided slices + a 4C concat + a Dense.
+
+    The parameter stays the reference's Linear kernel (4C, 2C) — same path
+    (`reduction/kernel`), same init, checkpoint/torch-import compatible —
+    and is reordered to HWIO at trace time. The math is identical
+    (concat4 @ W == conv2x2s2 with W's rows scattered to window taps); what
+    changes is the lowering: the strided slices each materialized an HBM
+    layout copy and the concat a (B,H/2,W/2,4C) intermediate, while the
+    conv reads x once, NHWC, straight onto the MXU.
+    """
+
+    features: int
+    dtype: DType = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):  # (B, H, W, C) NHWC
+        c = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (4 * c, self.features), jnp.float32)
+        # reference row order [x(0::2,0::2); x(1::2,0::2); x(0::2,1::2);
+        # x(1::2,1::2)] (backbone_vit.py:846-850): row block p = 2*dw + dh
+        # -> reshape to (dw, dh, C, out), transpose to HWIO (dh, dw, C, out)
+        k = kernel.reshape(2, 2, c, self.features).transpose(1, 0, 2, 3)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class PatchMerging(nn.Module):
     """2x2 space-to-depth + Linear(4C->2C) + LN (backbone_vit.py:823-860)."""
 
@@ -430,11 +461,8 @@ class PatchMerging(nn.Module):
         if tokens_in:
             assert x.shape[1] == h * w
             x = x.reshape(b, h, w, c)
-        x = jnp.concatenate(
-            [x[:, 0::2, 0::2], x[:, 1::2, 0::2],
-             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
-        x = nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
-                     name="reduction")(x)
+        x = _PatchReduction(2 * self.dim, dtype=self.dtype,
+                            name="reduction")(x)
         x = FusedLayerNorm(dtype=self.dtype, name="norm")(x)
         return x.reshape(b, (h // 2) * (w // 2), 2 * self.dim) \
             if tokens_in else x

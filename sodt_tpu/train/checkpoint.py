@@ -24,34 +24,56 @@ import orbax.checkpoint as ocp
 
 
 def _to_host(tree):
+    # start every device->host copy before materializing any of them: on a
+    # high-latency link (this rig's tunnel) serial np.asarray fetches cost
+    # latency x n_leaves; the async pass overlaps them into one round
+    for x in jax.tree.leaves(tree):
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str | Path, state, *, epoch: int,
-                    best_fitness: float, extra: dict | None = None):
-    path = Path(path).absolute()
+def checkpoint_tree(state, *, epoch: int, best_fitness: float,
+                    extra: dict | None = None) -> dict:
+    """Assemble the host-side checkpoint pytree (one batched fetch).
+
+    Split from the disk write so a caller saving the same state to several
+    paths (trainer: last + best) pays the device->host transfer once.
+    """
     # Optimizer state (momentum buffers, MultiSteps counters, schedule step
     # — reference restores optimizer.state_dict on resume, Train.py:171-195)
     # is stored as its flattened leaves; the nested optax namedtuple
     # structure is rebuilt at restore time from a fresh tx.init template
     # via restore_opt_state().
-    opt_leaves = {str(i): np.asarray(x)
-                  for i, x in enumerate(jax.tree.leaves(state.opt_state))}
     ckpt = {
-        "step": np.asarray(state.step),
-        "params": _to_host(state.params),
-        "batch_stats": _to_host(state.batch_stats),
-        "ema_params": _to_host(state.ema_params),
-        "ema_batch_stats": _to_host(state.ema_batch_stats),
-        "ema_updates": np.asarray(state.ema_updates),
-        "opt_state": opt_leaves,
-        "epoch": np.asarray(epoch),
-        "best_fitness": np.asarray(best_fitness),
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "ema_params": state.ema_params,
+        "ema_batch_stats": state.ema_batch_stats,
+        "ema_updates": state.ema_updates,
+        "opt_state": {str(i): x
+                      for i, x in enumerate(jax.tree.leaves(state.opt_state))},
+        "epoch": epoch,
+        "best_fitness": best_fitness,
     }
+    ckpt = _to_host(ckpt)
+    ckpt["epoch"] = np.asarray(epoch)
+    ckpt["best_fitness"] = np.asarray(best_fitness)
     if extra:
         ckpt["extra"] = extra
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, ckpt, force=True)
+    return ckpt
+
+
+def write_checkpoint(path: str | Path, ckpt: dict):
+    ocp.PyTreeCheckpointer().save(Path(path).absolute(), ckpt, force=True)
+
+
+def save_checkpoint(path: str | Path, state, *, epoch: int,
+                    best_fitness: float, extra: dict | None = None):
+    write_checkpoint(path, checkpoint_tree(state, epoch=epoch,
+                                           best_fitness=best_fitness,
+                                           extra=extra))
 
 
 def load_checkpoint(path: str | Path) -> dict:

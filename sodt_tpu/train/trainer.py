@@ -30,8 +30,9 @@ from .loss import LossConfig
 from .optim import make_optimizer
 from .state import TrainState, make_train_step
 from .evaluate import evaluate, fitness_from_metrics
-from .checkpoint import (save_checkpoint, load_checkpoint, eval_variables,
-                         restore_opt_state)
+from .checkpoint import (load_checkpoint, eval_variables,
+                         restore_opt_state, checkpoint_tree,
+                         write_checkpoint)
 from .optim import lr_schedules
 from ..utils.loggers import RunLogger
 from ..utils.plots import plot_results, plot_labels
@@ -112,7 +113,11 @@ def train(tc: TrainConfig) -> dict:
     names = (["item"] if tc.single_cls
              else data_cfg.get("names", [str(i) for i in range(nc)]))
     (save_dir / "hyp.yaml").write_text(yaml.dump(hyp))
-    (save_dir / "opt.yaml").write_text(yaml.dump(dataclasses.asdict(tc)))
+    # lists, not tuples, so the file stays yaml.safe_load-able (the resume
+    # path re-reads it; reference Train.py:506-516 reloads opt.yaml too)
+    opt_dict = {k: (list(v) if isinstance(v, tuple) else v)
+                for k, v in dataclasses.asdict(tc).items()}
+    (save_dir / "opt.yaml").write_text(yaml.dump(opt_dict))
 
     ch_in = {"RGB": 3, "IR": 3, "RGB+IR": 4,
              "RGB+IR+fusion": 8, "RGB+IR+MF": 3}[tc.input_mode]
@@ -161,10 +166,12 @@ def train(tc: TrainConfig) -> dict:
     x0 = jnp.zeros((2, tc.img_size, tc.img_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(tc.seed), x0, x0, train=True)
     if tc.weights and not tc.resume:
-        # initial weights: shape-matched non-strict load, fresh optimizer
+        # initial weights: shape-matched non-strict load, fresh optimizer;
+        # missing paths go through attempt_download (google_utils.py:16-58)
         from .checkpoint import load_pretrained_variables
+        from ..utils.downloads import attempt_download
         variables, n_hit, n_all = load_pretrained_variables(
-            variables, tc.weights)
+            variables, attempt_download(tc.weights))
         print(f"pretrained: {n_hit}/{n_all} arrays from {tc.weights}")
     params, batch_stats = variables["params"], variables["batch_stats"]
     nparams = sum(p.size for p in jax.tree.leaves(params))
@@ -373,21 +380,27 @@ def train(tc: TrainConfig) -> dict:
                                   float(lr_b(opt_step))))
             extra = ({"wandb_id": logger.wandb_id}
                      if logger.wandb_id else None)
-            if not tc.nosave or is_final:
-                save_checkpoint(save_dir / "last", state, epoch=epoch,
-                                best_fitness=best_fitness, extra=extra)
+            # one device->host fetch per epoch, written to last/best/
+            # epochN as needed (checkpoint_tree overlaps the transfers)
             is_best = fit > best_fitness
             if is_best:
                 best_fitness = fit
-                if not tc.nosave or is_final:
-                    save_checkpoint(save_dir / "best", state, epoch=epoch,
-                                    best_fitness=best_fitness, extra=extra)
+            ckpt_host = (checkpoint_tree(state, epoch=epoch,
+                                         best_fitness=best_fitness,
+                                         extra=extra)
+                         if (not tc.nosave or is_final) else None)
+            if ckpt_host is not None:
+                write_checkpoint(save_dir / "last", ckpt_host)
+                if is_best:
+                    write_checkpoint(save_dir / "best", ckpt_host)
             if (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0
                     and epoch != tc.epochs - 1):
                 # periodic epoch snapshot (reference Train.py:549)
-                save_checkpoint(save_dir / f"epoch{epoch}", state,
-                                epoch=epoch, best_fitness=best_fitness,
-                                extra=extra)
+                if ckpt_host is None:
+                    ckpt_host = checkpoint_tree(state, epoch=epoch,
+                                                best_fitness=best_fitness,
+                                                extra=extra)
+                write_checkpoint(save_dir / f"epoch{epoch}", ckpt_host)
             if logger.lifecycle.active:
                 logger.lifecycle.log_model(save_dir / "last", epoch=epoch,
                                            fitness=fit, best=is_best)

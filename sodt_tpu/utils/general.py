@@ -10,6 +10,42 @@ from pathlib import Path
 import numpy as np
 
 
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Turn on JAX's persistent compilation cache.
+
+    Compiled executables are keyed by HLO hash and reloaded across process
+    restarts — on this rig every TPU compile goes through a remote-compile
+    relay, so cache hits remove the dominant cold-start cost of the train /
+    eval / bench CLIs (the reference amortizes nothing: torch re-traces every
+    run). Safe everywhere: backends that cannot serialize executables just
+    log a warning and compile normally.
+
+    Disable with SODT_NO_COMPILE_CACHE=1; override the location with
+    SODT_COMPILE_CACHE=<dir>. Returns the cache dir, or None when disabled.
+    """
+    import os
+
+    if os.environ.get("SODT_NO_COMPILE_CACHE"):
+        return None
+    cache_dir = path or os.environ.get(
+        "SODT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "sodt_tpu",
+                     "jax_cache"))
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything: even sub-second CPU compiles pay off across the
+        # test suite, and remote TPU compiles are all far above any floor.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # pragma: no cover - best-effort knob
+        logging.getLogger(__name__).warning("compile cache disabled: %s", e)
+        return None
+    return cache_dir
+
+
 def set_logging(rank: int = 0):
     logging.basicConfig(
         format="%(message)s",

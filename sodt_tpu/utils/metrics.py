@@ -148,3 +148,22 @@ def match_predictions(det: np.ndarray, labels_xyxy: np.ndarray,
                 if len(detected) == nl:
                     break
     return correct
+
+
+def write_per_class_csv(metrics: dict, names, path) -> None:
+    """Per-class metric table artifact.
+
+    The reference exports this table as an .xlsx workbook after every test
+    run (/root/reference/basics/test.py:271-297); CSV carries the same
+    columns without an xlsx dependency (documented deviation, PARITY.md).
+    """
+    with open(path, "w") as fh:
+        fh.write("class,name,P,R,mAP50,mAP\n")
+        fh.write(f"all,all,{metrics.get('mp', 0):.5g},"
+                 f"{metrics.get('mr', 0):.5g},"
+                 f"{metrics.get('map50', 0):.5g},"
+                 f"{metrics.get('map', 0):.5g}\n")
+        for c, v in sorted(metrics.get("per_class", {}).items()):
+            nm = names[c] if c < len(names) else str(c)
+            fh.write(f"{c},{nm},{v['p']:.5g},{v['r']:.5g},"
+                     f"{v['ap50']:.5g},{v['ap']:.5g}\n")

@@ -226,3 +226,76 @@ def test_plot_evolution_and_study_and_lr(tmp_path):
     plot_lr_schedule((lambda s: 0.01 * (1 - s / 100),
                       lambda s: 0.1 / (s + 1)), 100, tmp_path / "lr.png")
     assert (tmp_path / "lr.png").stat().st_size > 0
+
+
+def test_attempt_download_local_and_file_url(tmp_path, monkeypatch):
+    from sodt_tpu.utils.downloads import attempt_download
+
+    # existing local path: returned untouched
+    src = tmp_path / "weights.pt"
+    src.write_bytes(b"x" * 64)
+    assert attempt_download(str(src)) == str(src)
+
+    # missing path + SODT_WEIGHTS_BASE: fetched from the base (file:// URL
+    # keeps the test offline, mirroring google_utils.py:16-58 semantics)
+    monkeypatch.setenv("SODT_WEIGHTS_BASE", tmp_path.as_uri())
+    dst = tmp_path / "sub" / "weights.pt"
+    out = attempt_download(str(dst))
+    assert out == str(dst) and dst.read_bytes() == b"x" * 64
+
+    # missing path, no source: passthrough (loader raises its own error)
+    monkeypatch.delenv("SODT_WEIGHTS_BASE")
+    assert attempt_download(str(tmp_path / "nope.pt")) == str(
+        tmp_path / "nope.pt")
+
+    # too-small download is rejected and no partial file is left
+    tiny = tmp_path / "tiny.bin"
+    tiny.write_bytes(b"z")
+    import pytest
+
+    with pytest.raises(OSError):
+        attempt_download(str(tmp_path / "d" / "tiny.bin"),
+                         url=tiny.as_uri(), min_bytes=32)
+    assert not (tmp_path / "d" / "tiny.bin").exists()
+    assert not (tmp_path / "d" / "tiny.bin.part").exists()
+
+
+def test_per_class_csv(tmp_path):
+    from sodt_tpu.utils.metrics import write_per_class_csv
+
+    m = dict(mp=0.5, mr=0.25, map50=0.75, map=0.3,
+             per_class={1: dict(p=0.4, r=0.2, ap50=0.7, ap=0.28)})
+    path = tmp_path / "per_class.csv"
+    write_per_class_csv(m, ["car", "truck"], path)
+    lines = path.read_text().strip().splitlines()
+    assert lines[0] == "class,name,P,R,mAP50,mAP"
+    assert lines[1].startswith("all,all,0.5,0.25,0.75,0.3")
+    assert lines[2] == "1,truck,0.4,0.2,0.7,0.28"
+
+
+def test_resume_config_reloads_opt_yaml(tmp_path):
+    import yaml
+
+    import train as train_cli
+    from sodt_tpu.train.trainer import TrainConfig
+
+    run = tmp_path / "runs" / "exp"
+    ckpt = run / "last"
+    ckpt.mkdir(parents=True)
+    opt = {k: (list(v) if isinstance(v, tuple) else v)
+           for k, v in TrainConfig(epochs=7, seed=3, img_size=256,
+                                   freeze=("backbone",)).__dict__.items()}
+    (run / "opt.yaml").write_text(yaml.dump(opt))
+
+    tc = train_cli.parse_args(["--resume", str(ckpt), "--epochs", "999"])
+    # opt.yaml wins over other CLI flags (reference Train.py resume flow)
+    assert tc.epochs == 7 and tc.seed == 3 and tc.img_size == 256
+    assert tc.freeze == ("backbone",)
+    assert tc.resume == str(ckpt)
+
+    # no opt.yaml next to the checkpoint: plain CLI flags apply
+    lone = tmp_path / "lone"
+    lone.mkdir()
+    tc2 = train_cli.parse_args(["--resume", str(lone / "last"),
+                                "--epochs", "5"])
+    assert tc2.epochs == 5 and tc2.resume == str(lone / "last")

@@ -87,7 +87,10 @@ def main(argv=None):
     p.add_argument("--ref-path", default="",
                    help="path to the reference repo for pickled-module "
                         "checkpoints")
-    print(convert(**vars(p.parse_args(argv))))
+    a = p.parse_args(argv)
+    from sodt_tpu.utils.downloads import attempt_download
+    a.src = attempt_download(a.src)  # URL / missing-release .pt support
+    print(convert(**vars(a)))
 
 
 if __name__ == "__main__":

@@ -102,6 +102,8 @@ def main(argv=None):
     if a.platform:
         import jax
         jax.config.update("jax_platforms", a.platform)
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
     result = run(a.pt, a.cfg, a.data, out=a.out, input_mode=a.input_mode,
                  nc=a.nc, key=a.key, ref_path=a.ref_path,
                  img_size=a.img_size, batch_size=a.batch_size,

@@ -31,6 +31,8 @@ def main():
     import jax.numpy as jnp
     from sodt_tpu.models import build_model
     from sodt_tpu.train.evaluate import make_eval_step
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
 
     model = build_model("configs/model.yaml", ch_in=4, dtype=jnp.bfloat16,
                         input_mode="RGB+IR")

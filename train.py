@@ -16,6 +16,37 @@ import argparse
 from sodt_tpu.train.trainer import TrainConfig, train
 
 
+def _resume_config(resume: str):
+    """Rebuild the full TrainConfig from the run's saved opt.yaml.
+
+    Mirrors the reference resume flow (/root/reference/Train.py:600-610:
+    `--resume` replaces the argparse namespace with the run's opt.yaml), so
+    `python train.py --resume runs/X/last` needs no other flag. Returns None
+    when no opt.yaml exists next to the checkpoint (e.g. a W&B artifact
+    string) — the caller then falls back to the explicit CLI flags.
+    """
+    import dataclasses
+    from pathlib import Path
+
+    import yaml
+
+    opt_path = Path(resume).resolve().parent / "opt.yaml"
+    if not opt_path.is_file():
+        return None
+    try:
+        opt = yaml.safe_load(opt_path.read_text())
+    except yaml.YAMLError:
+        # older runs serialized tuples as !!python/tuple; our own artifact
+        opt = yaml.unsafe_load(opt_path.read_text())
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    kw = {k: v for k, v in opt.items() if k in fields}
+    if "freeze" in kw and kw["freeze"] is not None:
+        kw["freeze"] = tuple(kw["freeze"])
+    kw["resume"] = resume
+    print(f"Resuming from {resume} with {opt_path}")
+    return TrainConfig(**kw)
+
+
 def parse_args(argv=None, return_evolve: bool = False):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--weights", default="",
@@ -56,7 +87,11 @@ def parse_args(argv=None, return_evolve: bool = False):
     p.add_argument("--no-bf16", action="store_false", dest="bf16")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize encoder blocks (fit bigger batches)")
-    p.add_argument("--resume", default="")
+    p.add_argument("--resume", default="",
+                   help="checkpoint to resume from (full optimizer/EMA/step "
+                        "restore). The run's opt.yaml is reloaded so no "
+                        "other flag is needed (reference Train.py resume "
+                        "re-reads opt.yaml the same way)")
     p.add_argument("--noautoanchor", action="store_false", dest="autoanchor")
     p.add_argument("--image-weights", action="store_true")
     p.add_argument("--multi-scale", action="store_true")
@@ -87,6 +122,12 @@ def parse_args(argv=None, return_evolve: bool = False):
     if a.platform:
         import jax
         jax.config.update("jax_platforms", a.platform)
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
+    if a.resume:
+        tc = _resume_config(a.resume)
+        if tc is not None:
+            return (tc, a.evolve) if return_evolve else tc
     tc = TrainConfig(cfg=a.cfg, data=a.data, hyp=a.hyp, epochs=a.epochs,
                        batch_size=a.batch_size, img_size=a.img_size,
                        input_mode=a.input_mode, sr=a.sr,

@@ -35,7 +35,8 @@ def build(a, img_size: int):
     model = build_model(a.cfg, ch_in=ch_in, nc=nc, dtype=dtype,
                         input_mode=a.input_mode)
     if a.weights:
-        paths = a.weights.split(",")
+        from sodt_tpu.utils.downloads import attempt_download
+        paths = [attempt_download(p) for p in a.weights.split(",")]
         # multi-checkpoint NMS ensemble (reference attempt_load/Ensemble,
         # experimental.py:98-135): predictions concatenated before NMS
         variables = [eval_variables(load_checkpoint(p)) for p in paths]
@@ -79,6 +80,8 @@ def run_map(a, img_size: int):
         from sodt_tpu.utils.plots import plot_confusion_matrix
         plot_confusion_matrix(m["confusion_matrix"],
                               save_dir / "confusion_matrix.png", names)
+    from sodt_tpu.utils.metrics import write_per_class_csv
+    write_per_class_csv(m, names, save_dir / "per_class.csv")
     return m
 
 
@@ -126,6 +129,8 @@ def main(argv=None):
     a = p.parse_args(argv)
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
+    from sodt_tpu.utils.general import enable_compile_cache
+    enable_compile_cache()
 
     if a.int8:
         # trace-time gate: everything built under this context traces the
