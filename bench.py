@@ -113,9 +113,14 @@ def main():
         return box.get("backend"), box.get("err")
 
     backend, err = _init_backend_once(120.0)
-    if backend is None and "hung" not in (err or ""):
-        time.sleep(15.0)
+    attempts = 1
+    while backend is None and attempts < 4:
+        # the relay can flap; this script is the round's one measurement
+        # shot, so retry for a few minutes before emitting the degraded
+        # record (a hung init thread leaks — bounded by the attempt cap)
+        time.sleep(30.0)
         backend, err = _init_backend_once(120.0)
+        attempts += 1
     if backend is None:
         print(json.dumps({
             "metric": "VEDAI end-to-end images/sec/chip at 512px",
