@@ -383,6 +383,7 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                        sample_weights_fn=None,
                        multi_scale: bool = False,
                        multi_scale_buckets=(0.75, 1.0, 1.25),
+                       scale_seed: int | None = None,
                        device_bank: bool | None = None) -> Iterator[dict]:
     """Infinite (or epochs-bounded) iterator of augmented device batches.
 
@@ -398,6 +399,11 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     n = len(dataset)
     labels = dataset.labels
     rng = np.random.default_rng(seed)
+    # bucket draws come from their OWN stream so multi-host runs (which
+    # decorrelate `seed` per process) can keep the per-step batch SHAPE
+    # identical across processes by passing one shared scale_seed
+    scale_rng = np.random.default_rng(seed if scale_seed is None
+                                      else scale_seed)
     # per-sample mosaic probability (reference datasets.py:541); the
     # mosaic= flag forces the letterbox-only path regardless of hyp
     mosaic_p = float(hyp.get("mosaic", 1.0)) if mosaic else 0.0
@@ -414,7 +420,8 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                           device_bank=device_bank)
     if feed is not None:
         yield from _bank_train_batches(feed, img_size, epochs,
-                                       multi_scale, multi_scale_buckets)
+                                       multi_scale, multi_scale_buckets,
+                                       scale_rng)
         return
     aug = make_augment_fn(img_size, hyp, use_mixup, mosaic_p)
     src = _make_tile_source(dataset, img_size, prefer_native, cache)
@@ -488,7 +495,8 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
             # bucketed multi-scale (reference resizes every batch to a
             # random /32-multiple in +/-50%, Train.py:396-402; fixed-shape
             # jit wants a small static set instead)
-            f = multi_scale_buckets[int(rng.integers(len(multi_scale_buckets)))]
+            f = multi_scale_buckets[
+                int(scale_rng.integers(len(multi_scale_buckets)))]
             ns = int(round(img_size * f / 32) * 32)
             if ns != img_size:
                 img = jax.image.resize(
@@ -502,18 +510,18 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
 
 def _bank_train_batches(feed: BankFeed, img_size: int,
                         epochs: int | None, multi_scale: bool,
-                        multi_scale_buckets) -> Iterator[dict]:
+                        multi_scale_buckets, scale_rng) -> Iterator[dict]:
     """Device-bank feed regime (see make_train_batches docstring): a thin
     iterator over BankFeed, so the per-step and epoch-scan protocols share
     one scheduler/augment implementation (and one HBM-budget gate, in
-    make_bank_feed). The multi-scale bucket draw uses the feed's Generator
-    at the same sequence point as the streaming regime, keeping the sample
-    streams identical at the same seed."""
+    make_bank_feed). The multi-scale bucket draw uses the dedicated
+    scale_rng at the same sequence point as the streaming regime, keeping
+    the sample AND shape streams identical at the same seeds."""
     total = None if epochs is None else epochs * feed.steps_per_epoch
     while total is None or feed.step < total:
         b = feed.augment_step()
         if multi_scale:
-            f = multi_scale_buckets[int(feed.rng.integers(
+            f = multi_scale_buckets[int(scale_rng.integers(
                 len(multi_scale_buckets)))]
             ns = int(round(img_size * f / 32) * 32)
             if ns != img_size:
@@ -726,11 +734,21 @@ def make_rect_train_batches(dataset, batch_size: int, img_size: int,
     ar = shapes0[:, 0] / shapes0[:, 1]                  # h / w
     order = np.argsort(ar)
 
-    # fixed batch membership + per-batch static shapes (datasets.py:735-747)
+    # fixed batch membership + per-batch static shapes (datasets.py:735-747).
+    # The reference keeps a SMALLER final batch for the n % bs remainder;
+    # static shapes can't, so the tail group is padded to batch_size by
+    # cycling its own members — every image is still seen each epoch (the
+    # padded duplicates oversample the highest-AR tail slightly).
     groups, shapes = [], []
-    nb = n // batch_size                                # drop the remainder
-    for gi in range(nb):
-        idx = order[gi * batch_size:(gi + 1) * batch_size]
+    nb = n // batch_size
+    starts = [gi * batch_size for gi in range(nb)]
+    if n % batch_size:
+        starts.append(n - (n % batch_size))             # tail group
+        nb += 1
+    for start in starts:
+        idx = order[start:start + batch_size]
+        if len(idx) < batch_size:
+            idx = np.resize(idx, batch_size)            # cycle the tail
         ari = ar[idx]
         shape = [1.0, 1.0]
         if ari.max() < 1:

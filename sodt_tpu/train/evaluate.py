@@ -140,29 +140,27 @@ class EvalRunner:
     """
 
     def __init__(self, model, **step_kw):
+        import inspect
         self.model = model
         self.step = make_eval_step(model, **step_kw)
+        # record the step's FULLY-RESOLVED protocol kwargs so evaluate()
+        # can reject a runner built under a different protocol
+        sig = inspect.signature(make_eval_step)
+        bound = sig.bind(model, **step_kw)
+        bound.apply_defaults()
+        self.step_kw = {k: v for k, v in bound.arguments.items()
+                        if k != "model"}
         self._scan_fn = None
-        self._cache_fn = None
+        self._cache_fns: dict[int, Any] = {}
 
     def scan_fn(self):
         if self._scan_fn is None:
-            step = self.step
-
-            @jax.jit
-            def run_all(variables, imgs, irs, tg, tm):
-                def body(_, xs):
-                    im, ir_, t_, m_ = xs
-                    return None, step(variables, im, ir_, t_, m_)
-                # None xs entries are empty pytrees: scan passes them thru
-                _, out = jax.lax.scan(body, None, (imgs, irs, tg, tm))
-                return out
-
-            self._scan_fn = run_all
+            self._scan_fn = _make_scan_runner(self.step)
         return self._scan_fn
 
     def cache_bias(self, variables, img_size: int):
-        """cache_rel_bias, but through one persistent jitted apply."""
+        """cache_rel_bias, but through one persistent jitted apply
+        (keyed by img_size — one compiled refresh per resolution)."""
         if isinstance(variables, (list, tuple)):
             return [self.cache_bias(v, img_size) for v in variables]
         from jax.tree_util import tree_flatten_with_path, keystr
@@ -170,7 +168,7 @@ class EvalRunner:
         if not any("relative_position_bias_table" in keystr(p)
                    for p, _ in leaves):
             return variables
-        if self._cache_fn is None:
+        if img_size not in self._cache_fns:
             model = self.model
             x0 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
 
@@ -179,8 +177,24 @@ class EvalRunner:
                 return model.apply(v, x0, x0, train=False,
                                    mutable=["bias_cache"])[1]
 
-            self._cache_fn = cf
-        return {**variables, **self._cache_fn(variables)}
+            self._cache_fns[img_size] = cf
+        return {**variables, **self._cache_fns[img_size](variables)}
+
+
+def _make_scan_runner(step):
+    """One jitted whole-pass runner over a compiled eval step (shared by
+    EvalRunner.scan_fn and the runnerless _try_scan_eval path)."""
+
+    @jax.jit
+    def run_all(variables, imgs, irs, tg, tm):
+        def body(_, xs):
+            im, ir_, t_, m_ = xs
+            return None, step(variables, im, ir_, t_, m_)
+        # None xs entries are empty pytrees: scan passes them through
+        _, out = jax.lax.scan(body, None, (imgs, irs, tg, tm))
+        return out
+
+    return run_all
 
 
 def _try_scan_eval(step, variables, batches, scan, runner=None):
@@ -207,17 +221,8 @@ def _try_scan_eval(step, variables, batches, scan, runner=None):
     tg = jnp.stack([b["targets"] for b in blist]) if has_t else None
     tm = jnp.stack([b["tmask"] for b in blist]) if has_t else None
 
-    if runner is not None:
-        run_all = runner.scan_fn()
-    else:
-        @jax.jit
-        def run_all(variables, imgs, irs, tg, tm):
-            def body(_, xs):
-                im, ir_, t_, m_ = xs
-                return None, step(variables, im, ir_, t_, m_)
-            # None xs entries are empty pytrees: scan passes them through
-            _, out = jax.lax.scan(body, None, (imgs, irs, tg, tm))
-            return out
+    run_all = runner.scan_fn() if runner is not None \
+        else _make_scan_runner(step)
 
     t0 = time.perf_counter()
     dets_a, valid_a, losses_a = run_all(variables, imgs, irs, tg, tm)
@@ -261,6 +266,21 @@ def evaluate(model, variables, batches, *, nc: int, img_size: int,
     (trainer per-epoch eval).
     """
     if runner is not None:
+        # the runner's compiled step bakes in ITS protocol — reject a
+        # call that asks for a different one instead of silently running
+        # under the wrong conf/iou/hybrid settings
+        want = dict(conf_thres=conf_thres, iou_thres=iou_thres,
+                    max_det=max_det, top_k=top_k, merge=merge,
+                    loss_cfg=loss_cfg, augment=augment,
+                    hybrid_labels=save_hybrid)
+        diff = {k: (v, runner.step_kw[k]) for k, v in want.items()
+                if k in runner.step_kw and runner.step_kw[k] != v}
+        if diff:
+            raise ValueError(
+                "evaluate() protocol args disagree with the prebuilt "
+                "runner's (requested, runner): "
+                + ", ".join(f"{k}={v}" for k, v in sorted(diff.items()))
+                + " — build the EvalRunner with matching kwargs")
         if cache_bias:
             variables = runner.cache_bias(variables, img_size)
         step = runner.step

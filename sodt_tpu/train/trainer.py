@@ -153,7 +153,10 @@ def train(tc: TrainConfig) -> dict:
                         factor=tc.sr_factor, dtype=dtype,
                         input_mode=tc.input_mode, anchors=anchors_override,
                         remat=tc.remat)
-    nb = max(len(train_ds) // tc.batch_size, 1)
+    # rect yields ceil(n/bs) groups/epoch (tail group padded by cycling);
+    # every other feed drops the remainder — keep nb in sync with the feed
+    nb = (max(-(-len(train_ds) // tc.batch_size), 1) if tc.rect
+          else max(len(train_ds) // tc.batch_size, 1))
     accumulate = max(round(tc.nbs / tc.batch_size), 1)
 
     # scale loss gains like Train.py:269-271
@@ -310,7 +313,10 @@ def train(tc: TrainConfig) -> dict:
             train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
             max_labels_per_image=tc.max_labels, epochs=None,
             sample_weights_fn=sample_weights if tc.image_weights else None,
-            multi_scale=tc.multi_scale)
+            # scale_seed is NOT process-decorrelated: every host must draw
+            # the same multi-scale bucket at the same step or the global
+            # batch shape disagrees across processes (SPMD shape mismatch)
+            multi_scale=tc.multi_scale, scale_seed=tc.seed)
 
     metrics_out: dict[str, Any] = {}
     # one set of eval executables for the whole run: per-epoch evaluate()

@@ -47,9 +47,17 @@ def attempt_download(weights: str, url: str | None = None,
     """
     s = str(weights).strip()
     if urllib.parse.urlparse(s).scheme in ("http", "https", "file"):
-        dst = Path(urllib.parse.urlparse(s).path).name or "weights.ckpt"
-        dst = Path(dst)
+        # cache under a URL-keyed directory, NOT the bare basename in the
+        # CWD: two URLs ending in "best" must not collide, and the result
+        # must not depend on where the CLI was launched from
+        import hashlib
+        name = Path(urllib.parse.urlparse(s).path).name or "weights.ckpt"
+        cache = Path(os.environ.get(
+            "SODT_WEIGHTS_CACHE",
+            Path.home() / ".cache" / "sodt_tpu" / "weights"))
+        dst = cache / hashlib.sha256(s.encode()).hexdigest()[:16] / name
         if not dst.exists():
+            dst.parent.mkdir(parents=True, exist_ok=True)
             _fetch(s, dst, min_bytes)
         return str(dst)
     path = Path(s)

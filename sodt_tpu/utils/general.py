@@ -38,7 +38,7 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # Cache everything: even sub-second CPU compiles pay off across the
         # test suite, and remote TPU compiles are all far above any floor.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # pragma: no cover - best-effort knob
         logging.getLogger(__name__).warning("compile cache disabled: %s", e)

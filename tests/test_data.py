@@ -573,3 +573,26 @@ def test_rect_train_batches_square_dataset_is_one_shape():
               for b in make_rect_train_batches(ds, 4, 96, hyp, seed=0,
                                                epochs=1)}
     assert shapes == {(96, 96)}
+
+
+def test_rect_train_batches_remainder_images_are_seen():
+    """n % batch_size != 0: the tail AR-group is padded to batch_size by
+    cycling its own members, so EVERY image is yielded each epoch (the
+    reference keeps a smaller last batch, datasets.py:735; a fixed-shape
+    feed pads instead of dropping the highest-AR tail forever)."""
+    from sodt_tpu.data.loader import make_rect_train_batches
+
+    seen: set[int] = set()
+
+    class _Tracking(_RectDs):
+        def __getitem__(self, i):
+            seen.add(int(i))
+            return super().__getitem__(i)
+
+    shapes = [(64, 128)] * 4 + [(128, 64)] * 6        # n=10, bs=4 -> rem 2
+    ds = _Tracking(shapes)
+    hyp = {"translate": 0.05, "scale": 0.2, "fliplr": 0.5}
+    nb = sum(1 for _ in make_rect_train_batches(
+        ds, 4, 128, hyp, seed=0, epochs=1, max_labels_per_image=8))
+    assert nb == 3                                    # ceil(10 / 4)
+    assert seen == set(range(10))                     # nothing dropped

@@ -142,3 +142,25 @@ def test_evaluate_runner_reuses_compiled_programs():
     assert runner._scan_fn is fn_after_first        # no per-call rebuild
     assert m1["map50"] == m2["map50"] == m0["map50"]
     assert m1["map"] == m0["map"] and m1["nt"] == m0["nt"]
+
+
+def test_evaluate_rejects_mismatched_runner_protocol():
+    """A prebuilt EvalRunner bakes its protocol into the compiled step;
+    evaluate() must refuse to run under DIFFERENT protocol args instead
+    of silently using the runner's (e.g. trainer eval at conf 0.25
+    through a conf 0.001 runner)."""
+    import pytest
+    from sodt_tpu.train.evaluate import EvalRunner
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x0, x0, train=False)
+    ds = SyntheticVedai(n=4, img_size=64, nc=3)
+    runner = EvalRunner(model, top_k=256, max_det=50)
+    with pytest.raises(ValueError, match="conf_thres"):
+        evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                 nc=3, img_size=64, top_k=256, max_det=50,
+                 conf_thres=0.25, runner=runner)
+    # matching args run fine
+    m = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                 nc=3, img_size=64, top_k=256, max_det=50, runner=runner)
+    assert m["seen"] == 4
