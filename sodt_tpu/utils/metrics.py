@@ -155,7 +155,7 @@ def write_per_class_csv(metrics: dict, names, path) -> None:
 
     The reference exports this table as an .xlsx workbook after every test
     run (/root/reference/basics/test.py:271-297); CSV carries the same
-    columns without an xlsx dependency (documented deviation, PARITY.md).
+    columns; utils/xlsx.py writes the workbook itself (stdlib OOXML).
     """
     with open(path, "w") as fh:
         fh.write("class,name,P,R,mAP50,mAP\n")

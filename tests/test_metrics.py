@@ -108,3 +108,40 @@ def test_end_to_end_map_is_one_for_perfect_predictions():
     tc = np.concatenate([s[3] for s in stats])
     _, _, ap, _, _ = ap_per_class(tp, conf, pc, tc)
     assert ap[:, 0].mean() == pytest.approx(1.0, abs=0.02)
+
+
+def test_write_per_class_xlsx_roundtrip(tmp_path):
+    """The stdlib xlsx writer must produce a valid OOXML workbook whose
+    sheet carries the reference's table (test.py:271-297): 'all' row then
+    one row per class, percentages *100, numeric cells numeric."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+    from sodt_tpu.utils.xlsx import write_per_class_xlsx
+
+    m = {"seen": 40, "nt": [3, 7], "mp": 0.5, "mr": 0.25,
+         "map50": 0.75, "map": 0.4,
+         "per_class": {0: dict(p=0.6, r=0.3, ap50=0.8, ap=0.45),
+                       1: dict(p=0.4, r=0.2, ap50=0.7, ap=0.35)}}
+    path = tmp_path / "per_class.xlsx"
+    write_per_class_xlsx(m, ["car", "truck"], path)
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        assert set(z.namelist()) >= {"[Content_Types].xml", "_rels/.rels",
+                                     "xl/workbook.xml",
+                                     "xl/worksheets/sheet1.xml"}
+        root = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    rows = root.findall(f"{ns}sheetData/{ns}row")
+    assert len(rows) == 3                       # all + 2 classes
+
+    def vals(row):
+        out = []
+        for c in row.findall(f"{ns}c"):
+            if c.get("t") == "inlineStr":
+                out.append(c.find(f"{ns}is/{ns}t").text)
+            else:
+                out.append(float(c.find(f"{ns}v").text))
+        return out
+    assert vals(rows[0]) == ["all", 40.0, 10.0, 50.0, 25.0, 75.0, 40.0]
+    assert vals(rows[1]) == ["car", 40.0, 3.0, 60.0, 30.0, 80.0, 45.0]
+    assert vals(rows[2])[0] == "truck" and vals(rows[2])[2] == 7.0

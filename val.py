@@ -81,7 +81,10 @@ def run_map(a, img_size: int):
         plot_confusion_matrix(m["confusion_matrix"],
                               save_dir / "confusion_matrix.png", names)
     from sodt_tpu.utils.metrics import write_per_class_csv
+    from sodt_tpu.utils.xlsx import write_per_class_xlsx
     write_per_class_csv(m, names, save_dir / "per_class.csv")
+    # the reference's xlsx workbook artifact (test.py:271-297), stdlib-built
+    write_per_class_xlsx(m, names, save_dir / "per_class.xlsx")
     return m
 
 
