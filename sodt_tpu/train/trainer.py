@@ -328,14 +328,21 @@ def train(tc: TrainConfig) -> dict:
     t_start = time.time()
     for epoch in range(start_epoch, tc.epochs):
         t_epoch = time.time()
+        wall = {}  # per-epoch wall-clock breakdown -> events.jsonl
         if feed is not None:
             # whole epoch in one dispatch; metrics come back (nb,)-stacked
+            t0 = time.time()
             prim, sec, keys = feed.epoch_schedule()
             sec_in = prim if sec is None else sec
-            state, ms = epoch_fn(state, feed.banks, jnp.asarray(prim),
-                                 jnp.asarray(sec_in), keys)
+            prim, sec_in = jnp.asarray(prim), jnp.asarray(sec_in)
+            wall["sched"] = time.time() - t0
+            t0 = time.time()
+            state, ms = epoch_fn(state, feed.banks, prim, sec_in, keys)
+            wall["dispatch"] = time.time() - t0   # async return
+            t0 = time.time()
             mean_losses = {k: float(np.mean(np.asarray(v)))
                            for k, v in ms.items()}
+            wall["fetch"] = time.time() - t0      # blocks on the device
         else:
             losses = []
             for bi in range(nb):
@@ -365,6 +372,7 @@ def train(tc: TrainConfig) -> dict:
         is_final = epoch == tc.epochs - 1
         if is_final or (not tc.notest
                         and (epoch + 1) % tc.eval_every == 0):
+            t_eval0 = time.time()
             evars = {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats}
             m = evaluate(model, evars,
@@ -379,6 +387,8 @@ def train(tc: TrainConfig) -> dict:
             line += (f" mAP50={m['map50']:.4f} mAP={m['map']:.4f} "
                      f"fit={fit:.4f}")
             metrics_out = m
+            wall["eval"] = time.time() - t_eval0
+            t_ckpt0 = time.time()
             opt_step = int(state.step) // accumulate
             logger.log_epoch(epoch, mean_losses, m,
                              lrs=(float(lr_w(opt_step)),
@@ -410,6 +420,14 @@ def train(tc: TrainConfig) -> dict:
             if logger.lifecycle.active:
                 logger.lifecycle.log_model(save_dir / "last", epoch=epoch,
                                            fitness=fit, best=is_best)
+            wall["ckpt"] = time.time() - t_ckpt0
+        # wall-clock breakdown (VERDICT r3: quantify the device-vs-wall
+        # train gap): scan dispatch vs device fetch vs eval vs checkpoint
+        wall["epoch"] = time.time() - t_epoch
+        logger.log_scalars({f"wall/{k}": v for k, v in wall.items()}, epoch)
+        if "eval" in wall:
+            line += ("  [wall " + " ".join(f"{k}={v:.2f}s"
+                                           for k, v in wall.items()) + "]")
         print(line)
         with open(results_file, "a") as f:
             f.write(line + "\n")
