@@ -375,11 +375,13 @@ def train(tc: TrainConfig) -> dict:
             t_eval0 = time.time()
             evars = {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats}
+            # stack_cache="val": the (fixed) val set uploads to the device
+            # once per run, not once per eval epoch
             m = evaluate(model, evars,
                          make_eval_batches(val_ds, tc.batch_size,
                                            tc.img_size),
                          nc=nc, img_size=tc.img_size, names=names,
-                         runner=eval_runner)
+                         runner=eval_runner, stack_cache="val")
             fit = fitness_from_metrics(m)
             for c, v in (m.get("per_class") or {}).items():
                 if c < nc:

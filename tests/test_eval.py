@@ -164,3 +164,36 @@ def test_evaluate_rejects_mismatched_runner_protocol():
     m = evaluate(model, variables, make_eval_batches(ds, 2, 64),
                  nc=3, img_size=64, top_k=256, max_det=50, runner=runner)
     assert m["seen"] == 4
+
+
+def test_evaluate_stack_cache_matches_and_skips_rebuild():
+    """stack_cache: the second evaluate() under the same key must not
+    consume the batches iterator at all (no host rebuild, no re-upload)
+    and must produce identical metrics to the uncached path."""
+    from sodt_tpu.train.evaluate import EvalRunner
+    model = build_model(TINY, ch_in=3, input_mode="RGB")
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), x0, x0, train=False)
+    ds = SyntheticVedai(n=8, img_size=64, nc=3)
+    kw = dict(nc=3, img_size=64, top_k=256, max_det=50)
+    runner = EvalRunner(model, top_k=256, max_det=50)
+
+    m0 = evaluate(model, variables, make_eval_batches(ds, 2, 64), **kw)
+    m1 = evaluate(model, variables, make_eval_batches(ds, 2, 64),
+                  runner=runner, stack_cache="val", **kw)
+    assert "val" in runner._stacks
+
+    consumed = []
+
+    def poisoned():
+        for b in make_eval_batches(ds, 2, 64):
+            consumed.append(1)
+            yield b
+
+    m2 = evaluate(model, variables, poisoned(),
+                  runner=runner, stack_cache="val", **kw)
+    assert not consumed                      # iterator never touched
+    assert m0["map50"] == m1["map50"] == m2["map50"]
+    assert m0["map"] == m1["map"] == m2["map"]
+    assert m0["seen"] == m2["seen"] == 8
+    assert m0["nt"] == m2["nt"]
