@@ -99,7 +99,8 @@ def main(argv=None):
     from sodt_tpu.train.evaluate import make_eval_step
     from sodt_tpu.train.checkpoint import load_checkpoint, eval_variables
 
-    with open(a.data) as f:
+    from sodt_tpu.utils.general import resolve_config_path
+    with open(resolve_config_path(a.data)) as f:
         data_cfg = yaml.safe_load(f)
     nc = int(data_cfg.get("nc", 8))
     names = data_cfg.get("names", [str(i) for i in range(nc)])

@@ -85,15 +85,8 @@ class ModelSpec:
 def load_yaml(cfg) -> dict:
     if isinstance(cfg, dict):
         return dict(cfg)
-    import os
-    if not os.path.exists(cfg):
-        # installed-package fallback: "configs/model.yaml" (or a bare
-        # "model.yaml") resolves to the yamls shipped inside sodt_tpu/
-        here = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                            "configs", os.path.basename(str(cfg)))
-        if os.path.exists(here):
-            cfg = here
-    with open(cfg) as f:
+    from ..utils.general import resolve_config_path
+    with open(resolve_config_path(cfg)) as f:
         return yaml.safe_load(f)
 
 

@@ -85,7 +85,8 @@ class TrainConfig:
 
 
 def _load_hyp(path: str) -> dict:
-    with open(path) as f:
+    from ..utils.general import resolve_config_path
+    with open(resolve_config_path(path)) as f:
         return yaml.safe_load(f)
 
 
@@ -107,7 +108,8 @@ def train(tc: TrainConfig) -> dict:
     save_dir = Path(tc.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     hyp = _load_hyp(tc.hyp)
-    with open(tc.data) as f:
+    from ..utils.general import resolve_config_path
+    with open(resolve_config_path(tc.data)) as f:
         data_cfg = yaml.safe_load(f)
     nc = 1 if tc.single_cls else int(data_cfg.get("nc", 8))
     names = (["item"] if tc.single_cls

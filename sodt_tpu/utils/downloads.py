@@ -21,7 +21,11 @@ __all__ = ["attempt_download"]
 
 
 def _fetch(url: str, dst: Path, min_bytes: int) -> None:
-    tmp = dst.with_suffix(dst.suffix + ".part")
+    # per-process tmp name: concurrent fetchers (every process of a
+    # multi-host run resolves --weights) must not interleave writes into
+    # one .part file; each downloads fully, the atomic replace races
+    # harmlessly (same content)
+    tmp = dst.with_suffix(dst.suffix + f".{os.getpid()}.part")
     try:
         print(f"Downloading {url} to {dst}...")
         urllib.request.urlretrieve(url, tmp)  # noqa: S310 - explicit opt-in

@@ -46,6 +46,30 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     return cache_dir
 
 
+def resolve_config_path(path) -> str:
+    """Resolve a default-style config path for installed (non-repo) use.
+
+    Returns ``path`` untouched when it exists. When it does not AND it
+    looks like a repo default — ``configs/<name>`` or a bare ``<name>``
+    with no directory — fall back to the copy shipped inside the package
+    (``sodt_tpu/configs/``). Any other missing path (user-specified
+    directories like ``experiments/model.yaml``) is returned unchanged so
+    the caller still raises its normal FileNotFoundError rather than
+    silently substituting a same-named packaged default.
+    """
+    import os
+    p = str(path)
+    if os.path.exists(p):
+        return p
+    norm = p.replace("\\", "/")
+    if norm.startswith("configs/") or "/" not in norm:
+        cand = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "configs", os.path.basename(p))
+        if os.path.exists(cand):
+            return cand
+    return p
+
+
 def set_logging(rank: int = 0):
     logging.basicConfig(
         format="%(message)s",
