@@ -328,23 +328,52 @@ def train(tc: TrainConfig) -> dict:
     from .evaluate import EvalRunner
     eval_runner = EvalRunner(model)
     t_start = time.time()
+    # epoch chunking (feed path): scan up to the next eval/final boundary
+    # in ONE dispatch — epoch_schedule() is RNG-exact under repeated
+    # calls, so concatenating E epochs' schedules preserves the sample
+    # stream while dividing per-epoch dispatch+fetch round trips by E
+    # (the dominant wall cost on a tunnel-attached chip). image-weights
+    # resampling reads per-eval mAPs, so it pins the chunk to 1.
+    chunk_losses: dict[int, dict] = {}
+    chunk_wall: dict[str, float] = {}
+    chunk_ips = 0.0
     for epoch in range(start_epoch, tc.epochs):
         t_epoch = time.time()
         wall = {}  # per-epoch wall-clock breakdown -> events.jsonl
         if feed is not None:
-            # whole epoch in one dispatch; metrics come back (nb,)-stacked
-            t0 = time.time()
-            prim, sec, keys = feed.epoch_schedule()
-            sec_in = prim if sec is None else sec
-            prim, sec_in = jnp.asarray(prim), jnp.asarray(sec_in)
-            wall["sched"] = time.time() - t0
-            t0 = time.time()
-            state, ms = epoch_fn(state, feed.banks, prim, sec_in, keys)
-            wall["dispatch"] = time.time() - t0   # async return
-            t0 = time.time()
-            mean_losses = {k: float(np.mean(np.asarray(v)))
-                           for k, v in ms.items()}
-            wall["fetch"] = time.time() - t0      # blocks on the device
+            if epoch not in chunk_losses:
+                # epochs until the next eval boundary (inclusive), since
+                # nothing device-side needs the host in between
+                cap = 1 if tc.image_weights else max(tc.eval_every, 1)
+                boundary = epoch + (cap - 1) - (epoch % cap)
+                E = min(boundary, tc.epochs - 1) - epoch + 1
+                t0 = time.time()
+                scheds = [feed.epoch_schedule() for _ in range(E)]
+                prim = np.concatenate([s[0] for s in scheds])
+                sec = (None if scheds[0][1] is None
+                       else np.concatenate([s[1] for s in scheds]))
+                keys = jnp.concatenate([s[2] for s in scheds])
+                sec_in = prim if sec is None else sec
+                prim, sec_in = jnp.asarray(prim), jnp.asarray(sec_in)
+                wall["sched"] = time.time() - t0
+                t0 = time.time()
+                state, ms = epoch_fn(state, feed.banks, prim, sec_in,
+                                     keys)
+                wall["dispatch"] = time.time() - t0   # async return
+                t0 = time.time()
+                k = feed.steps_per_epoch
+                ms = {kk: np.asarray(v).reshape(E, k, *np.shape(v)[1:])
+                      for kk, v in ms.items()}
+                chunk_losses = {epoch + i: {kk: float(np.mean(v[i]))
+                                            for kk, v in ms.items()}
+                                for i in range(E)}
+                wall["fetch"] = time.time() - t0      # blocks on device
+                wall["chunk"] = E
+                chunk_wall = wall
+                chunk_ips = (tc.batch_size * nb * E
+                             / max(time.time() - t_epoch, 1e-9))
+            wall = dict(chunk_wall) if epoch in chunk_losses else wall
+            mean_losses = chunk_losses.pop(epoch)
         else:
             losses = []
             for bi in range(nb):
@@ -366,7 +395,9 @@ def train(tc: TrainConfig) -> dict:
             mean_losses = {k: float(np.mean([l[k] for l in losses]))
                            for k in losses[0]} if losses else {}
 
-        ips = tc.batch_size * nb / (time.time() - t_epoch)
+        # chunked epochs share one dispatch: report the chunk-level rate
+        ips = (chunk_ips if feed is not None
+               else tc.batch_size * nb / (time.time() - t_epoch))
         line = (f"epoch {epoch}/{tc.epochs - 1} "
                 + " ".join(f"{k}={v:.4f}" for k, v in mean_losses.items())
                 + f" img/s={ips:.1f}")
@@ -430,8 +461,10 @@ def train(tc: TrainConfig) -> dict:
         wall["epoch"] = time.time() - t_epoch
         logger.log_scalars({f"wall/{k}": v for k, v in wall.items()}, epoch)
         if "eval" in wall:
-            line += ("  [wall " + " ".join(f"{k}={v:.2f}s"
-                                           for k, v in wall.items()) + "]")
+            line += ("  [wall "
+                     + " ".join(f"{k}={int(v)}" if k == "chunk"
+                                else f"{k}={v:.2f}s"
+                                for k, v in wall.items()) + "]")
         print(line)
         with open(results_file, "a") as f:
             f.write(line + "\n")

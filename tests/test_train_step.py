@@ -412,3 +412,60 @@ def test_epoch_scan_with_accumulation():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         s_a.params, s_b.params)
+
+
+def test_epoch_chunk_scan_matches_sequential_epochs():
+    """Trainer epoch chunking: ONE scan over two epochs' concatenated
+    schedules must produce the same parameter trajectory and per-step
+    losses as two sequential per-epoch scan dispatches (epoch_schedule
+    is RNG-exact under repeated calls, so concatenation preserves the
+    sample stream)."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_bank_feed
+    from sodt_tpu.train.state import make_epoch_scan
+
+    model = build_model(TINY, ch_in=3, input_mode="RGB", nc=8)
+    ds = SyntheticVedai(n=8, img_size=64, nc=8)
+    hyp = dict(HYP, mosaic=1.0, fliplr=0.5, translate=0.1, scale=0.5)
+    x0 = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, x0, train=True)
+    cfg = LossConfig(nc=8, anchors=model.spec.anchors,
+                     strides=model.spec.detect_strides,
+                     hyp_box=HYP["box"], hyp_obj=HYP["obj"],
+                     hyp_cls=HYP["cls"], anchor_t=HYP["anchor_t"])
+    tx = make_optimizer(HYP, variables["params"], epochs=4, nb=4)
+    step_raw = make_train_step(model, tx, cfg)
+
+    def fresh_state():
+        return TrainState.create(variables["params"],
+                                 variables["batch_stats"], tx)
+
+    # two sequential per-epoch dispatches
+    feed_a = make_bank_feed(ds, 2, 64, hyp, seed=7, device_bank=True)
+    epoch_fn = make_epoch_scan(step_raw, feed_a.aug_raw)
+    s_a = fresh_state()
+    losses_a = []
+    for _ in range(2):
+        prim, sec, keys = feed_a.epoch_schedule()
+        sec_in = prim if sec is None else sec
+        s_a, ms = epoch_fn(s_a, feed_a.banks, jnp.asarray(prim),
+                           jnp.asarray(sec_in), keys)
+        losses_a.extend(np.asarray(ms["loss"]).tolist())
+
+    # one chunked dispatch over the concatenated schedules
+    feed_b = make_bank_feed(ds, 2, 64, hyp, seed=7, device_bank=True)
+    scheds = [feed_b.epoch_schedule() for _ in range(2)]
+    prim = np.concatenate([s[0] for s in scheds])
+    sec = (None if scheds[0][1] is None
+           else np.concatenate([s[1] for s in scheds]))
+    keys = jnp.concatenate([s[2] for s in scheds])
+    sec_in = prim if sec is None else sec
+    s_b, ms = epoch_fn(fresh_state(), feed_b.banks, jnp.asarray(prim),
+                       jnp.asarray(sec_in), keys)
+    losses_b = np.asarray(ms["loss"]).tolist()
+
+    np.testing.assert_allclose(losses_a, losses_b, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        s_a.params, s_b.params)
