@@ -596,3 +596,33 @@ def test_rect_train_batches_remainder_images_are_seen():
         ds, 4, 128, hyp, seed=0, epochs=1, max_labels_per_image=8))
     assert nb == 3                                    # ceil(10 / 4)
     assert seen == set(range(10))                     # nothing dropped
+
+
+def test_multi_scale_shape_stream_syncs_across_processes():
+    """Multi-host multi-scale: processes decorrelate their SAMPLE streams
+    (per-process loader seed) but must draw identical per-step scale
+    buckets (shared scale_seed) or the global batch shape disagrees
+    across hosts mid-step (SPMD shape mismatch)."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_train_batches
+
+    ds = SyntheticVedai(n=8, img_size=64, nc=3)
+    hyp = {"mosaic": 0.0, "translate": 0.1, "scale": 0.5, "fliplr": 0.5}
+
+    def shapes_and_checksums(seed, scale_seed):
+        # wide buckets: at 64px the default +/-25% rounds back to 64
+        it = make_train_batches(ds, 2, 64, hyp, seed=seed, epochs=2,
+                                multi_scale=True, scale_seed=scale_seed,
+                                multi_scale_buckets=(0.5, 1.0, 1.5),
+                                device_bank=False, prefer_native=False)
+        shp, chk = [], []
+        for b in it:
+            shp.append(tuple(b["img"].shape))
+            chk.append(float(jnp.sum(b["img"])))
+        return shp, chk
+
+    s0, c0 = shapes_and_checksums(seed=3, scale_seed=3)
+    s1, c1 = shapes_and_checksums(seed=3 + 1_000_003, scale_seed=3)
+    assert s0 == s1                       # shape streams identical
+    assert c0 != c1                       # sample streams decorrelated
+    assert len({s[1] for s in s0}) > 1    # multi-scale actually varies
