@@ -335,7 +335,6 @@ def train(tc: TrainConfig) -> dict:
     # (the dominant wall cost on a tunnel-attached chip). image-weights
     # resampling reads per-eval mAPs, so it pins the chunk to 1.
     chunk_losses: dict[int, dict] = {}
-    chunk_wall: dict[str, float] = {}
     chunk_ips = 0.0
     for epoch in range(start_epoch, tc.epochs):
         t_epoch = time.time()
@@ -369,10 +368,10 @@ def train(tc: TrainConfig) -> dict:
                                 for i in range(E)}
                 wall["fetch"] = time.time() - t0      # blocks on device
                 wall["chunk"] = E
-                chunk_wall = wall
                 chunk_ips = (tc.batch_size * nb * E
                              / max(time.time() - t_epoch, 1e-9))
-            wall = dict(chunk_wall) if epoch in chunk_losses else wall
+            # non-dispatch epochs of a chunk log only their own eval/ckpt
+            # walls (sched/dispatch/fetch were paid once, on the first)
             mean_losses = chunk_losses.pop(epoch)
         else:
             losses = []
