@@ -38,7 +38,7 @@ def _fetch(url: str, dst: Path, min_bytes: int) -> None:
 
 
 def attempt_download(weights: str, url: str | None = None,
-                     min_bytes: int = 32) -> str:
+                     min_bytes: int = 100_000) -> str:
     """Return a local path for ``weights``, downloading it if missing.
 
     Resolution order when the path does not exist:
@@ -60,6 +60,11 @@ def attempt_download(weights: str, url: str | None = None,
             "SODT_WEIGHTS_CACHE",
             Path.home() / ".cache" / "sodt_tpu" / "weights"))
         dst = cache / hashlib.sha256(s.encode()).hexdigest()[:16] / name
+        # an existing cache entry below the size gate is a poisoned fetch
+        # (e.g. a 200-OK HTML error page cached by an older, laxer gate):
+        # drop it and refetch rather than loading it forever
+        if dst.exists() and dst.stat().st_size < min_bytes:
+            dst.unlink()
         if not dst.exists():
             dst.parent.mkdir(parents=True, exist_ok=True)
             _fetch(s, dst, min_bytes)

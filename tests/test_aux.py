@@ -232,8 +232,9 @@ def test_attempt_download_local_and_file_url(tmp_path, monkeypatch):
     from sodt_tpu.utils.downloads import attempt_download
 
     # existing local path: returned untouched
+    payload = b"x" * 150_000  # above the default min_bytes weight-size gate
     src = tmp_path / "weights.pt"
-    src.write_bytes(b"x" * 64)
+    src.write_bytes(payload)
     assert attempt_download(str(src)) == str(src)
 
     # missing path + SODT_WEIGHTS_BASE: fetched from the base (file:// URL
@@ -241,7 +242,7 @@ def test_attempt_download_local_and_file_url(tmp_path, monkeypatch):
     monkeypatch.setenv("SODT_WEIGHTS_BASE", tmp_path.as_uri())
     dst = tmp_path / "sub" / "weights.pt"
     out = attempt_download(str(dst))
-    assert out == str(dst) and dst.read_bytes() == b"x" * 64
+    assert out == str(dst) and dst.read_bytes() == payload
 
     # missing path, no source: passthrough (loader raises its own error)
     monkeypatch.delenv("SODT_WEIGHTS_BASE")
@@ -258,6 +259,15 @@ def test_attempt_download_local_and_file_url(tmp_path, monkeypatch):
                          url=tiny.as_uri(), min_bytes=32)
     assert not (tmp_path / "d" / "tiny.bin").exists()
     assert not (tmp_path / "d" / "tiny.bin.part").exists()
+
+    # a cached URL entry below the size gate (poisoned fetch, e.g. an HTML
+    # error page saved by an older laxer gate) is dropped and refetched
+    monkeypatch.setenv("SODT_WEIGHTS_CACHE", str(tmp_path / "cache"))
+    url = src.as_uri()
+    cached = Path(attempt_download(url))
+    assert cached.read_bytes() == payload
+    cached.write_bytes(b"<html>error</html>")  # poison the cache entry
+    assert Path(attempt_download(url)).read_bytes() == payload
 
 
 def test_per_class_csv(tmp_path):

@@ -231,13 +231,50 @@ def test_check_anchors_keeps_good():
 
 
 def test_update_annotation_row():
-    row = [1, 100, 150, 150, 100, 100, 100, 150, 150]
+    # 14-column raw VEDAI record (data_transform.py:12): centers,
+    # orientation, class, flags, 4 corner xs, 4 corner ys
+    row = [125, 125, 0.3, 1, 0, 0, 100, 150, 150, 100, 100, 100, 150, 150]
     out = update_annotation_row(row, 512, 512)
     cls, cx, cy, w, h = out
     assert cls == CLASS_REMAP[1] == 0
-    assert cx == pytest.approx(125 / 512)
-    assert w == pytest.approx(50 / 512)
-    assert update_annotation_row([99] + row[1:], 512, 512) is None
+    assert cx == pytest.approx(125 / 512)  # from the center COLUMN
+    assert w == pytest.approx(50 / 512)    # from the corner extent
+    # final class > 7 is dropped (raw 8 = buses, data_transform.py:27)
+    dropped = list(row)
+    dropped[3] = 8
+    assert update_annotation_row(dropped, 512, 512) is None
+    # raw 7 (motorcycles) is never remapped and survives as class 7,
+    # aliasing vans — the reference's sequential-replace quirk
+    moto = list(row)
+    moto[3] = 7
+    assert update_annotation_row(moto, 512, 512)[0] == 7
+
+
+def test_prepare_pipeline_reference_format(tmp_path):
+    """L0 end-to-end on the reference's on-disk format: per-image raw
+    annotation txts -> YOLO labels + fold rewrite (data_transform.py)."""
+    from sodt_tpu.data.prepare import makelabels, changepath
+
+    ann = tmp_path / "Annotations512"
+    ann.mkdir()
+    ann.joinpath("00000001.txt").write_text(
+        "125 125 0.3 1 0 0 100 150 150 100 100 100 150 150\n"
+        "300 300 0.0 31 0 0 280 320 320 280 280 280 320 320\n")  # 31 dropped
+    ann.joinpath("00000002.txt").write_text(
+        "60 80 0.0 9 0 0 50 70 70 50 70 70 90 90\n")
+    n = makelabels(str(ann), str(tmp_path / "labels"), 512.0)
+    assert n == 2
+    l1 = np.loadtxt(tmp_path / "labels" / "00000001.txt", ndmin=2)
+    assert l1.shape == (1, 5) and l1[0, 0] == 0
+    l2 = np.loadtxt(tmp_path / "labels" / "00000002.txt", ndmin=2)
+    assert l2[0, 0] == 7  # van (raw 9 -> 7)
+
+    fold = tmp_path / "fold01.txt"
+    fold.write_text("00000001\n00000002\n")
+    changepath(str(fold), str(tmp_path / "fold01_write.txt"),
+               str(tmp_path / "images"), suffix="_co.png")
+    lines = (tmp_path / "fold01_write.txt").read_text().splitlines()
+    assert lines[0].endswith("images/00000001_co.png")
 
 
 def test_label_cache_invalidates_on_same_size_edit(tmp_path):

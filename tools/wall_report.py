@@ -60,7 +60,12 @@ def main(argv=None):
               f"{'share %':>9}")
     for k in keys:
         v = cols[k]
-        share = (100 * v.mean() / total.mean()
+        # Share of total run wall time: sum-over-sum, NOT mean-over-mean.
+        # In chunked runs sched/dispatch/fetch are logged only on a chunk's
+        # first epoch carrying the whole chunk's cost, so their per-record
+        # mean is inflated by the chunk factor and mean/mean shares could
+        # exceed 100%.
+        share = (100 * v.sum() / total.sum()
                  if total is not None and k != "wall/epoch"
                  and k != "wall/chunk" else float("nan"))
         row = (k.removeprefix("wall/"), v.mean(), np.median(v), v.max(),

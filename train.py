@@ -33,11 +33,17 @@ def _resume_config(resume: str):
     opt_path = Path(resume).resolve().parent / "opt.yaml"
     if not opt_path.is_file():
         return None
-    try:
-        opt = yaml.safe_load(opt_path.read_text())
-    except yaml.YAMLError:
-        # older runs serialized tuples as !!python/tuple; our own artifact
-        opt = yaml.unsafe_load(opt_path.read_text())
+    class _OptLoader(yaml.SafeLoader):
+        # older runs serialized tuples as !!python/tuple; accept that one
+        # tag on an otherwise-safe loader rather than falling back to
+        # unsafe_load (which executes arbitrary constructors from an
+        # untrusted run directory)
+        pass
+
+    _OptLoader.add_constructor(
+        "tag:yaml.org,2002:python/tuple",
+        lambda loader, node: tuple(loader.construct_sequence(node)))
+    opt = yaml.load(opt_path.read_text(), Loader=_OptLoader)
     fields = {f.name for f in dataclasses.fields(TrainConfig)}
     kw = {k: v for k, v in opt.items() if k in fields}
     if "freeze" in kw and kw["freeze"] is not None:
