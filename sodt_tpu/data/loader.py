@@ -221,7 +221,8 @@ class BankFeed:
 
     def __init__(self, dataset, batch_size: int, img_size: int, hyp: dict,
                  *, seed: int = 0, m0: int = 30, mosaic: bool = True,
-                 sample_weights_fn=None, prefer_native: bool = True):
+                 sample_weights_fn=None, prefer_native: bool = True,
+                 process_index: int = 0, process_count: int = 1):
         n = len(dataset)
         if n < batch_size:
             raise ValueError(f"dataset {n} < batch_size {batch_size}")
@@ -233,6 +234,16 @@ class BankFeed:
         self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.sample_weights_fn = sample_weights_fn
+        # multi-host: the GLOBAL schedule is computed from the shared seed
+        # on every process (identical streams); each process consumes only
+        # its row slice of every step — a disjoint partition per step, the
+        # DistributedSampler-equivalent (reference datasets.py:107)
+        if batch_size % process_count:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"process_count {process_count}")
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_bs = batch_size // process_count
         self.steps_per_epoch = max(n // batch_size, 1)
         self.step = 0
         self.aug = make_bank_augment_fn(img_size, hyp, self.use_mixup,
@@ -285,8 +296,13 @@ class BankFeed:
         return prim, sec, jnp.stack(keys)
 
     def augment_step(self):
-        """One augmented batch (iterator protocol)."""
+        """One augmented batch (iterator protocol). Multi-host processes
+        produce only their local row slice of the global batch."""
         prim, sec, keys = self.step_schedule()
+        p, lb = self.process_index, self.local_bs
+        sl = slice(p * lb, (p + 1) * lb)
+        prim, keys = prim[sl], keys[sl]
+        sec = None if sec is None else sec[sl]
         img, irr, targets, tmask = self.aug(
             *self.banks, jnp.asarray(prim),
             None if sec is None else jnp.asarray(sec), keys)
@@ -297,7 +313,9 @@ class BankFeed:
 def make_bank_feed(dataset, batch_size: int, img_size: int, hyp: dict,
                    *, seed: int = 0, m0: int = 30, mosaic: bool = True,
                    sample_weights_fn=None, prefer_native: bool = True,
-                   device_bank: bool | None = None) -> BankFeed | None:
+                   device_bank: bool | None = None,
+                   process_index: int = 0,
+                   process_count: int = 1) -> BankFeed | None:
     """BankFeed when the dataset fits the HBM budget, else None."""
     if device_bank is None:
         bank_bytes = 2 * len(dataset) * img_size * img_size * 3
@@ -306,7 +324,9 @@ def make_bank_feed(dataset, batch_size: int, img_size: int, hyp: dict,
         return None
     return BankFeed(dataset, batch_size, img_size, hyp, seed=seed, m0=m0,
                     mosaic=mosaic, sample_weights_fn=sample_weights_fn,
-                    prefer_native=prefer_native)
+                    prefer_native=prefer_native,
+                    process_index=process_index,
+                    process_count=process_count)
 
 
 def _step_indices(rng, order, start, batch_size, n, use_mixup):
@@ -384,7 +404,9 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
                        multi_scale: bool = False,
                        multi_scale_buckets=(0.75, 1.0, 1.25),
                        scale_seed: int | None = None,
-                       device_bank: bool | None = None) -> Iterator[dict]:
+                       device_bank: bool | None = None,
+                       process_index: int = 0,
+                       process_count: int = 1) -> Iterator[dict]:
     """Infinite (or epochs-bounded) iterator of augmented device batches.
 
     Two feed regimes, chosen automatically (`device_bank=None`):
@@ -395,6 +417,14 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     - **streaming**: tiles decode on host (C++ prefetch loader when built),
       travel as uint8, and are cast/augmented on device. Pipelined: step
       s+1's decode is submitted before step s is yielded.
+
+    Multi-host (`process_count > 1`): `batch_size` stays GLOBAL and every
+    process computes the identical global schedule from the shared seed,
+    then decodes/augments only its `batch_size/process_count` row slice of
+    each step — a disjoint per-step partition, matching the reference's
+    DistributedSampler semantics (datasets.py:107) instead of decorrelated
+    independent sampling. Assembling all processes' slices reproduces the
+    single-process batch bit-for-bit.
     """
     n = len(dataset)
     labels = dataset.labels
@@ -413,11 +443,18 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         raise ValueError(
             f"dataset has {n} images < batch_size {batch_size}; "
             "the epoch schedule would never yield a batch")
+    if batch_size % process_count:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"process_count {process_count}")
+    lb = batch_size // process_count
+    row_slice = slice(process_index * lb, (process_index + 1) * lb)
     feed = make_bank_feed(dataset, batch_size, img_size, hyp, seed=seed,
                           m0=m0, mosaic=mosaic,
                           sample_weights_fn=sample_weights_fn,
                           prefer_native=prefer_native,
-                          device_bank=device_bank)
+                          device_bank=device_bank,
+                          process_index=process_index,
+                          process_count=process_count)
     if feed is not None:
         yield from _bank_train_batches(feed, img_size, epochs,
                                        multi_scale, multi_scale_buckets,
@@ -453,8 +490,11 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
     total_steps = None if epochs is None else epochs * steps_per_epoch
 
     def flatten(prim, sec):
-        return (prim.ravel() if sec is None
-                else np.concatenate([prim.ravel(), sec.ravel()]))
+        # local row slice only: this process never decodes other hosts'
+        # rows (the schedule itself is global and shared)
+        p, s = prim[row_slice], None if sec is None else sec[row_slice]
+        return (p.ravel() if s is None
+                else np.concatenate([p.ravel(), s.ravel()]))
 
     prim, sec = next(sched)
     flat = flatten(prim, sec)
@@ -469,20 +509,20 @@ def make_train_batches(dataset, batch_size: int, img_size: int, hyp: dict,
         job = src.submit(flat)
 
         labs, msks = pack_labels(cur_flat)
-        half = batch_size * 4
-        shape4 = (batch_size, 4, img_size, img_size, 3)
+        half = lb * 4
+        shape4 = (lb, 4, img_size, img_size, 3)
         r1 = rgb[:half].reshape(shape4)      # uint8 on the wire
         i1 = ir[:half].reshape(shape4)
-        l1 = labs[:half].reshape(batch_size, 4, m0, 5)
-        k1 = msks[:half].reshape(batch_size, 4, m0)
+        l1 = labs[:half].reshape(lb, 4, m0, 5)
+        k1 = msks[:half].reshape(lb, 4, m0)
 
         key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-        keys = jax.random.split(key, batch_size)
+        keys = jax.random.split(key, batch_size)[row_slice]
         if use_mixup:
             r2 = rgb[half:].reshape(shape4)
             i2 = ir[half:].reshape(shape4)
-            l2 = labs[half:].reshape(batch_size, 4, m0, 5)
-            k2 = msks[half:].reshape(batch_size, 4, m0)
+            l2 = labs[half:].reshape(lb, 4, m0, 5)
+            k2 = msks[half:].reshape(lb, 4, m0)
             img, irr, targets, tmask = aug(
                 jnp.asarray(r1), jnp.asarray(i1), jnp.asarray(l1),
                 jnp.asarray(k1), jnp.asarray(r2), jnp.asarray(i2),

@@ -50,6 +50,21 @@ def replicate_tree(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def replicate_from_local(tree, mesh: Mesh):
+    """Replicated GLOBAL arrays from identical per-process host data.
+
+    Single process: plain `replicate_tree`. Multi-host: every process
+    passes the SAME full value (e.g. the device tile bank or an epoch
+    index schedule built from a shared seed) and the global array is
+    assembled without communication — each host's copy IS the replica."""
+    if jax.process_count() == 1:
+        return replicate_tree(tree, mesh)
+    sh = replicate_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), tree)
+
+
 def host_shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Multi-host feed path: each process passes its process-LOCAL batch
     shard and the global sharded array is assembled without any gather

@@ -263,23 +263,26 @@ def train(tc: TrainConfig) -> dict:
     # Multi-device meshes shard the augmented batch inside the scan body
     # (sharding constraint), so the batch must split evenly.
     n_dev = len(mesh.devices.ravel())
-    # Multi-host: each process loads only its batch_size/P slice of the
-    # global batch, with a decorrelated schedule (process_index folded
-    # into the loader seed); host_shard_batch then assembles the global
-    # array from the per-process shards without a gather. Without this,
-    # every process would feed the SAME full batch as its "local shard"
-    # and the global batch would be P identical copies (no data
-    # parallelism, inflated img/s).
+    # Multi-host: every process computes the identical GLOBAL schedule
+    # from the shared seed and consumes a disjoint row slice of each step
+    # (DistributedSampler-equivalent partition, datasets.py:107);
+    # host_shard_batch then assembles the global array from the
+    # per-process shards without a gather. Without the slicing, every
+    # process would feed the SAME full batch as its "local shard" and the
+    # global batch would be P identical copies (no data parallelism,
+    # inflated img/s).
     n_proc = jax.process_count()
     if tc.batch_size % max(n_proc, 1):
         raise ValueError(f"batch_size {tc.batch_size} not divisible by "
                          f"process_count {n_proc}")
-    local_bs = tc.batch_size // n_proc
-    loader_seed = tc.seed + jax.process_index() * 1_000_003
     feed = None
     if (tc.scan_epoch is not False and not tc.multi_scale and not tc.rect
-            and n_proc == 1
             and tc.batch_size % n_dev == 0):
+        # the epoch-scan path survives multi-host: EVERY process uploads
+        # the full tile bank (HBM cost is per-host, and the bank gate
+        # already bounds it) and the shared-seed schedule arrays are
+        # replicated; the scan body's sharding constraint splits the
+        # augmented global batch across the mesh exactly as single-host.
         feed = make_bank_feed(
             train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
             m0=tc.max_labels,
@@ -287,12 +290,14 @@ def train(tc: TrainConfig) -> dict:
             device_bank=True if tc.scan_epoch else None)
     if feed is not None:
         from .state import make_epoch_scan
-        if n_dev > 1:
-            feed.banks = replicate_tree(feed.banks, mesh)
+        from ..parallel.mesh import replicate_from_local
+        if n_dev > 1 or n_proc > 1:
+            feed.banks = replicate_from_local(feed.banks, mesh)
         epoch_fn = make_epoch_scan(step_raw, feed.aug_raw, mesh=mesh)
         batches = None
         print(f"feed: device bank ({len(train_ds)} tiles in HBM), "
-              f"epoch-scan dispatch over {n_dev} device(s)")
+              f"epoch-scan dispatch over {n_dev} device(s), "
+              f"{n_proc} process(es)")
     elif tc.rect:
         # rect training (reference Train.py --rect): AR-grouped static
         # per-batch shapes, non-mosaic augmentation; each distinct shape
@@ -308,17 +313,19 @@ def train(tc: TrainConfig) -> dict:
             raise ValueError("--rect is single-host only")
         from ..data.loader import make_rect_train_batches
         batches = make_rect_train_batches(
-            train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
+            train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
             max_labels_per_image=tc.max_labels)
     else:
         batches = make_train_batches(
-            train_ds, local_bs, tc.img_size, hyp, seed=loader_seed,
+            train_ds, tc.batch_size, tc.img_size, hyp, seed=tc.seed,
             max_labels_per_image=tc.max_labels, epochs=None,
             sample_weights_fn=sample_weights if tc.image_weights else None,
-            # scale_seed is NOT process-decorrelated: every host must draw
-            # the same multi-scale bucket at the same step or the global
-            # batch shape disagrees across processes (SPMD shape mismatch)
-            multi_scale=tc.multi_scale, scale_seed=tc.seed)
+            multi_scale=tc.multi_scale, scale_seed=tc.seed,
+            # shared seed + per-process row slice (see above); the bucket
+            # stream is identical across hosts by construction now, but
+            # scale_seed stays explicit so the shapes cannot drift even if
+            # seeds are ever decorrelated again
+            process_index=jax.process_index(), process_count=n_proc)
 
     metrics_out: dict[str, Any] = {}
     # one set of eval executables for the whole run: per-epoch evaluate()
@@ -327,6 +334,16 @@ def train(tc: TrainConfig) -> dict:
     # overhead on a remote-compile rig)
     from .evaluate import EvalRunner
     eval_runner = EvalRunner(model)
+    # async checkpoint pipeline: the device->host fetch of params+EMA+opt
+    # state and the orbax write cost ~12-19 s/eval-epoch on a tunnel rig
+    # (r5 flagship telemetry) and need nothing from the training loop, so
+    # they run on ONE worker thread, overlapped with the next chunk's
+    # device scan. At most one save in flight (the previous future is
+    # drained first), state pytrees are immutable and never donated, so
+    # the captured buffers stay valid.
+    from concurrent.futures import ThreadPoolExecutor
+    ckpt_pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    ckpt_fut = None
     t_start = time.time()
     # epoch chunking (feed path): scan up to the next eval/final boundary
     # in ONE dispatch — epoch_schedule() is RNG-exact under repeated
@@ -353,7 +370,15 @@ def train(tc: TrainConfig) -> dict:
                        else np.concatenate([s[1] for s in scheds]))
                 keys = jnp.concatenate([s[2] for s in scheds])
                 sec_in = prim if sec is None else sec
-                prim, sec_in = jnp.asarray(prim), jnp.asarray(sec_in)
+                if n_proc > 1:
+                    # shared-seed schedules are identical on every host:
+                    # assemble them as replicated GLOBAL arrays (a jit
+                    # over a multi-host mesh cannot take per-host numpy)
+                    from ..parallel.mesh import replicate_from_local
+                    prim, sec_in, keys = replicate_from_local(
+                        (prim, sec_in, np.asarray(keys)), mesh)
+                else:
+                    prim, sec_in = jnp.asarray(prim), jnp.asarray(sec_in)
                 wall["sched"] = time.time() - t0
                 t0 = time.time()
                 state, ms = epoch_fn(state, feed.banks, prim, sec_in,
@@ -430,30 +455,45 @@ def train(tc: TrainConfig) -> dict:
                                   float(lr_b(opt_step))))
             extra = ({"wandb_id": logger.wandb_id}
                      if logger.wandb_id else None)
-            # one device->host fetch per epoch, written to last/best/
-            # epochN as needed (checkpoint_tree overlaps the transfers)
-            is_best = fit > best_fitness
-            if is_best:
+            if fit > best_fitness:
                 best_fitness = fit
-            ckpt_host = (checkpoint_tree(state, epoch=epoch,
-                                         best_fitness=best_fitness,
-                                         extra=extra)
-                         if (not tc.nosave or is_final) else None)
-            if ckpt_host is not None:
-                write_checkpoint(save_dir / "last", ckpt_host)
-                if is_best:
-                    write_checkpoint(save_dir / "best", ckpt_host)
-            if (tc.save_period > 0 and (epoch + 1) % tc.save_period == 0
-                    and epoch != tc.epochs - 1):
-                # periodic epoch snapshot (reference Train.py:549)
-                if ckpt_host is None:
-                    ckpt_host = checkpoint_tree(state, epoch=epoch,
-                                                best_fitness=best_fitness,
-                                                extra=extra)
-                write_checkpoint(save_dir / f"epoch{epoch}", ckpt_host)
-            if logger.lifecycle.active:
-                logger.lifecycle.log_model(save_dir / "last", epoch=epoch,
-                                           fitness=fit, best=is_best)
+            # ties refresh best too (reference saves best when
+            # best_fitness == fi, Train.py:545) — latest equal wins
+            is_best = fit >= best_fitness
+
+            def _save(state=state, epoch=epoch, best_fitness=best_fitness,
+                      is_best=is_best, is_final=is_final, extra=extra,
+                      fit=fit):
+                # one device->host fetch, written to last/best/epochN as
+                # needed (checkpoint_tree overlaps the transfers)
+                ckpt_host = (checkpoint_tree(state, epoch=epoch,
+                                             best_fitness=best_fitness,
+                                             extra=extra)
+                             if (not tc.nosave or is_final) else None)
+                if ckpt_host is not None:
+                    write_checkpoint(save_dir / "last", ckpt_host)
+                    if is_best:
+                        write_checkpoint(save_dir / "best", ckpt_host)
+                if (tc.save_period > 0
+                        and (epoch + 1) % tc.save_period == 0
+                        and epoch != tc.epochs - 1):
+                    # periodic epoch snapshot (reference Train.py:549)
+                    if ckpt_host is None:
+                        ckpt_host = checkpoint_tree(
+                            state, epoch=epoch,
+                            best_fitness=best_fitness, extra=extra)
+                    write_checkpoint(save_dir / f"epoch{epoch}",
+                                     ckpt_host)
+                if logger.lifecycle.active:
+                    logger.lifecycle.log_model(save_dir / "last",
+                                               epoch=epoch, fitness=fit,
+                                               best=is_best)
+
+            if ckpt_fut is not None:
+                ckpt_fut.result()   # bound in-flight saves; re-raise errors
+            ckpt_fut = ckpt_pool.submit(_save)
+            if is_final:
+                ckpt_fut.result()   # the last save must land before return
             wall["ckpt"] = time.time() - t_ckpt0
         # wall-clock breakdown (VERDICT r3: quantify the device-vs-wall
         # train gap): scan dispatch vs device fetch vs eval vs checkpoint
@@ -468,6 +508,7 @@ def train(tc: TrainConfig) -> dict:
         with open(results_file, "a") as f:
             f.write(line + "\n")
 
+    ckpt_pool.shutdown(wait=True)   # drain any in-flight save
     logger.close()
     try:
         plot_results(save_dir / "events.jsonl", save_dir / "results.png")

@@ -636,10 +636,13 @@ def test_rect_train_batches_remainder_images_are_seen():
 
 
 def test_multi_scale_shape_stream_syncs_across_processes():
-    """Multi-host multi-scale: processes decorrelate their SAMPLE streams
-    (per-process loader seed) but must draw identical per-step scale
-    buckets (shared scale_seed) or the global batch shape disagrees
-    across hosts mid-step (SPMD shape mismatch)."""
+    """The per-step scale-bucket stream is governed by scale_seed ALONE:
+    even loaders with different sample seeds must draw identical per-step
+    buckets when sharing a scale_seed, or the global batch shape would
+    disagree across hosts mid-step (SPMD shape mismatch). (The trainer
+    itself now shares one seed and partitions rows — see
+    test_multi_host_partition_assembles_single_host_stream — but the
+    shape stream must be robust independently.)"""
     from sodt_tpu.data.synthetic import SyntheticVedai
     from sodt_tpu.data.loader import make_train_batches
 
@@ -661,5 +664,34 @@ def test_multi_scale_shape_stream_syncs_across_processes():
     s0, c0 = shapes_and_checksums(seed=3, scale_seed=3)
     s1, c1 = shapes_and_checksums(seed=3 + 1_000_003, scale_seed=3)
     assert s0 == s1                       # shape streams identical
-    assert c0 != c1                       # sample streams decorrelated
+    assert c0 != c1                       # sample streams differ
     assert len({s[1] for s in s0}) > 1    # multi-scale actually varies
+
+
+@pytest.mark.parametrize("device_bank", [False, True])
+def test_multi_host_partition_assembles_single_host_stream(device_bank):
+    """DistributedSampler-equivalent multi-host feed (datasets.py:107):
+    every process computes the global schedule from the shared seed and
+    consumes a disjoint row slice; concatenating the process slices must
+    reproduce the single-process global batches bit-for-bit, for both the
+    streaming and the device-bank feed regimes."""
+    from sodt_tpu.data.synthetic import SyntheticVedai
+    from sodt_tpu.data.loader import make_train_batches
+
+    ds = SyntheticVedai(n=8, img_size=64, nc=3)
+    hyp = {"mosaic": 1.0, "translate": 0.1, "scale": 0.5, "fliplr": 0.5,
+           "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4, "mixup": 0.5}
+
+    def run(pi, pc):
+        return list(make_train_batches(
+            ds, 4, 64, hyp, seed=7, epochs=2, device_bank=device_bank,
+            prefer_native=False, process_index=pi, process_count=pc))
+
+    glob = run(0, 1)
+    p0, p1 = run(0, 2), run(1, 2)
+    assert len(glob) == len(p0) == len(p1) == 4
+    for g, a, b in zip(glob, p0, p1):
+        assert a["img"].shape[0] == b["img"].shape[0] == 2
+        for k in ("img", "ir", "targets", "tmask"):
+            merged = np.concatenate([np.asarray(a[k]), np.asarray(b[k])])
+            np.testing.assert_array_equal(merged, np.asarray(g[k]))

@@ -469,3 +469,25 @@ def test_epoch_chunk_scan_matches_sequential_epochs():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
         s_a.params, s_b.params)
+
+
+def test_trainer_end_to_end_async_ckpt(tmp_path):
+    """Full trainer loop e2e (tiny config, 2 epochs): the epoch-scan bank
+    feed + per-eval async checkpoint pipeline must leave valid last/best
+    checkpoints, results.txt, and finite metrics behind."""
+    from sodt_tpu.train.trainer import TrainConfig, train
+    from sodt_tpu.train.checkpoint import load_checkpoint
+
+    tc = TrainConfig(cfg="tests/tiny.yaml", synthetic=True, synthetic_n=8,
+                     epochs=2, batch_size=8, img_size=96, input_mode="RGB",
+                     save_dir=str(tmp_path / "run"), eval_every=1,
+                     bf16=False, autoanchor=False, seed=0, max_labels=8)
+    m = train(tc)
+    assert np.isfinite(m["best_fitness"])
+    run = tmp_path / "run"
+    assert (run / "results.txt").exists()
+    lines = (run / "results.txt").read_text().splitlines()
+    assert len(lines) == 2 and "mAP50=" in lines[-1]
+    ckpt = load_checkpoint(run / "last")
+    assert int(ckpt["epoch"]) == 1
+    assert (run / "best").exists()

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--img-size", type=int, default=512)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--aug", action="store_true",
+                    help="profile the device-bank augmentation dispatch "
+                         "(mosaic+perspective+HSV+flips), not the model")
     ap.add_argument("--out", default="/tmp/sodt_trace")
     a = ap.parse_args()
 
@@ -33,6 +36,25 @@ def main():
     from sodt_tpu.train.evaluate import make_eval_step
     from sodt_tpu.utils.general import enable_compile_cache
     enable_compile_cache()
+
+    if a.aug:
+        from sodt_tpu.data.synthetic import SyntheticVedai
+        from sodt_tpu.data.loader import make_bank_feed
+        hyp = {"mosaic": 1.0, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+               "degrees": 0.0, "translate": 0.1, "scale": 0.5,
+               "shear": 0.0, "perspective": 0.0, "flipud": 0.0,
+               "fliplr": 0.5, "mixup": 0.0}
+        ds = SyntheticVedai(n=max(4 * a.batch, 64), img_size=a.img_size)
+        feed = make_bank_feed(ds, a.batch, a.img_size, hyp, seed=0,
+                              device_bank=True)
+
+        def step(v, x, x2):
+            b = feed.augment_step()
+            return (b["img"].sum()[None].astype(jnp.float32),
+                    b["targets"])
+        variables = img = None
+        _profile_loop(a, step, variables, img)
+        return
 
     model = build_model("configs/model.yaml", ch_in=4, dtype=jnp.bfloat16,
                         input_mode="RGB+IR")
@@ -71,10 +93,21 @@ def main():
         def step(v, x, x2):
             return estep(v, x, x2)
 
+    _profile_loop(a, step, variables, img)
+
+
+def _profile_loop(a, step, variables, img):
+    import glob
+    import gzip
+    import json
+    import time
+    from collections import defaultdict
+
+    import jax
+
     out = step(variables, img, img)
     jax.block_until_ready(out[0])
 
-    import time
     t0 = time.perf_counter()
     acc = 0.0
     for _ in range(a.iters):
