@@ -151,27 +151,21 @@ def _augment_one(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key, *,
     return img / 255.0, ir / 255.0, targets, mask
 
 
-def _f32(t):
-    """Tiles travel host->device as uint8 (4x less tunnel traffic than the
-    float32 the augment math wants); the cast runs on device under jit."""
-    return t.astype(jnp.float32) if t.dtype == jnp.uint8 else t
-
-
 def make_augment_fn(s: int, hyp: dict, use_mixup: bool,
                     mosaic_p: float = 1.0):
     fn = functools.partial(_augment_one, s=s, hyp=hyp, use_mixup=use_mixup,
                            mosaic_p=mosaic_p)
+    # tiles stay uint8 into the mosaic paste; the warp sampler casts
+    # (see make_bank_augment_fn — same bandwidth argument)
     if not use_mixup:
         # drop the secondary-mosaic operands from the jit signature so the
         # loader never decodes or transfers them (hyp mixup: 0.0 default)
         def primary_only(rgb4, ir4, lab4, msk4, key):
-            rgb4, ir4 = _f32(rgb4), _f32(ir4)
             return fn(rgb4, ir4, lab4, msk4, rgb4, ir4, lab4, msk4, key)
         return jax.jit(jax.vmap(primary_only))
 
     def full(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key):
-        return fn(_f32(rgb4), _f32(ir4), lab4, msk4,
-                  _f32(rgb4b), _f32(ir4b), lab4b, msk4b, key)
+        return fn(rgb4, ir4, lab4, msk4, rgb4b, ir4b, lab4b, msk4b, key)
     return jax.jit(jax.vmap(full))
 
 
@@ -193,11 +187,15 @@ def make_bank_augment_fn(s: int, hyp: dict, use_mixup: bool,
                            mosaic_p=mosaic_p)
 
     def bank_fn(bank_rgb, bank_ir, bank_lab, bank_msk, prim, sec, keys):
-        r1 = _f32(bank_rgb[prim])          # (B, 4, s, s, 3)
-        i1 = _f32(bank_ir[prim])
+        # tiles stay uint8 through the gather AND the mosaic paste —
+        # pasting is pure copy (pad 114 is exact in u8), so deferring the
+        # f32 cast to the warp sampler quarters the gather + mosaic
+        # scratch HBM traffic (the augment dispatch is bandwidth-bound)
+        r1 = bank_rgb[prim]                # (B, 4, s, s, 3)
+        i1 = bank_ir[prim]
         l1, k1 = bank_lab[prim], bank_msk[prim]
         if use_mixup:
-            r2, i2 = _f32(bank_rgb[sec]), _f32(bank_ir[sec])
+            r2, i2 = bank_rgb[sec], bank_ir[sec]
             l2, k2 = bank_lab[sec], bank_msk[sec]
         else:
             r2, i2, l2, k2 = r1, i1, l1, k1

@@ -70,7 +70,12 @@ def _resize_longest(img: np.ndarray, size: int) -> np.ndarray:
         return img
     if _HAS_CV2:
         interp = cv2.INTER_AREA if r < 1 else cv2.INTER_LINEAR
-        return cv2.resize(img, (int(w * r), int(h * r)), interpolation=interp)
+        out = cv2.resize(img, (int(w * r), int(h * r)),
+                         interpolation=interp)
+        # cv2.resize drops a trailing 1-channel dim (real VEDAI _ir.png
+        # is grayscale) — restore it or __getitem__'s channel checks
+        # misread width as channels
+        return out[..., None] if out.ndim == 2 else out
     pil = Image.fromarray(img.squeeze() if img.shape[-1] == 1 else img)
     pil = pil.resize((int(w * r), int(h * r)), Image.BILINEAR)
     out = np.asarray(pil)

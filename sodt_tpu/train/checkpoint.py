@@ -23,14 +23,50 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+_PACK_CACHE: dict = {}
+
+
 def _to_host(tree):
-    # start every device->host copy before materializing any of them: on a
-    # high-latency link (this rig's tunnel) serial np.asarray fetches cost
-    # latency x n_leaves; the async pass overlaps them into one round
-    for x in jax.tree.leaves(tree):
-        if hasattr(x, "copy_to_host_async"):
-            x.copy_to_host_async()
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Device->host fetch of a checkpoint pytree, packed per dtype.
+
+    On a high-latency link the per-array fetch overhead dominates: the
+    flagship state (hundreds of leaves, ~80 MB) costs ~6 s as a batched
+    multi-leaf device_get but ~1.7 s as ONE contiguous array (measured,
+    r5). ONE jitted pack program (reshape + concat per dtype group) keeps
+    it to a single device dispatch and a single compile — per-leaf eager
+    concats cost a compile round-trip per op on a remote-compile rig
+    (observed: 79 s first save)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    dev = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+    if len(dev) > 4:
+        sig = tuple((leaves[i].shape, str(leaves[i].dtype)) for i in dev)
+        pack = _PACK_CACHE.get(sig)
+        if pack is None:
+            def _pack(*xs):
+                groups: dict = {}
+                for x in xs:
+                    groups.setdefault(str(x.dtype), []).append(
+                        x.reshape(-1))
+                return {k: jnp.concatenate(v) if len(v) > 1 else v[0]
+                        for k, v in groups.items()}
+            pack = _PACK_CACHE[sig] = jax.jit(_pack)
+        host = jax.device_get(pack(*[leaves[i] for i in dev]))
+        offs = {k: 0 for k in host}
+        for i in dev:
+            x = leaves[i]
+            k = str(x.dtype)
+            n = int(np.prod(x.shape)) if x.shape else 1
+            leaves[i] = np.asarray(
+                host[k][offs[k]:offs[k] + n]).reshape(x.shape)
+            offs[k] += n
+    else:  # small trees: plain overlapped fetch
+        for i in dev:
+            leaves[i].copy_to_host_async()
+        for i in dev:
+            leaves[i] = np.asarray(leaves[i])
+    leaves = [np.asarray(x) if not isinstance(x, np.ndarray) else x
+              for x in leaves]
+    return jax.tree.unflatten(treedef, leaves)
 
 
 def checkpoint_tree(state, *, epoch: int, best_fitness: float,
@@ -67,6 +103,27 @@ def checkpoint_tree(state, *, epoch: int, best_fitness: float,
 
 def write_checkpoint(path: str | Path, ckpt: dict):
     ocp.PyTreeCheckpointer().save(Path(path).absolute(), ckpt, force=True)
+
+
+def clone_checkpoint(src: str | Path, dst: str | Path):
+    """Duplicate a finished checkpoint directory (last -> best).
+
+    Orbax serialization is the expensive half of a save on this rig
+    (r5 telemetry: 8-23 s blocking per eval epoch when best re-serializes
+    the same pytree); a file-level copy of the completed directory is the
+    same artifact for a fraction of the cost. Callers must only clone
+    after the source save returned (the trainer's ckpt worker is a single
+    thread, so last/best are naturally sequential)."""
+    import shutil
+
+    src, dst = Path(src).absolute(), Path(dst).absolute()
+    tmp = dst.with_name(dst.name + ".tmp_clone")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    shutil.copytree(src, tmp)
+    if dst.exists():
+        shutil.rmtree(dst)
+    tmp.rename(dst)
 
 
 def save_checkpoint(path: str | Path, state, *, epoch: int,

@@ -32,7 +32,7 @@ from .state import TrainState, make_train_step
 from .evaluate import evaluate, fitness_from_metrics
 from .checkpoint import (load_checkpoint, eval_variables,
                          restore_opt_state, checkpoint_tree,
-                         write_checkpoint)
+                         write_checkpoint, clone_checkpoint)
 from .optim import lr_schedules
 from ..utils.loggers import RunLogger
 from ..utils.plots import plot_results, plot_labels
@@ -466,14 +466,25 @@ def train(tc: TrainConfig) -> dict:
                       fit=fit):
                 # one device->host fetch, written to last/best/epochN as
                 # needed (checkpoint_tree overlaps the transfers)
+                t_f = time.time()
                 ckpt_host = (checkpoint_tree(state, epoch=epoch,
                                              best_fitness=best_fitness,
                                              extra=extra)
                              if (not tc.nosave or is_final) else None)
+                t_w = time.time()
                 if ckpt_host is not None:
                     write_checkpoint(save_dir / "last", ckpt_host)
                     if is_best:
-                        write_checkpoint(save_dir / "best", ckpt_host)
+                        # file copy, not a second orbax serialization —
+                        # the serialize cost is the blocking half of the
+                        # save on this rig (r5 wall telemetry)
+                        clone_checkpoint(save_dir / "last",
+                                         save_dir / "best")
+                # sub-phase telemetry (worker-side): device->host fetch vs
+                # serialize+clone — feeds tools/wall_report.py
+                logger.log_scalars({"wall/ckpt_fetch": t_w - t_f,
+                                    "wall/ckpt_write": time.time() - t_w},
+                                   epoch)
                 if (tc.save_period > 0
                         and (epoch + 1) % tc.save_period == 0
                         and epoch != tc.epochs - 1):
