@@ -26,7 +26,10 @@ inference_ips, e2e_host_ips, train_ips, inference_mfu, train_mfu,
 gflops_per_img, train_feed_ips (per-step loader -> train dispatch),
 train_scan_feed_ips (epoch-scan feed: the production trainer path),
 int8_ips (--int8 quantized serving), topk_path (present only when the
-approx top-k compile fell back to the exact sort).
+approx top-k compile fell back to the exact sort), and e2e_feed_mbps
+(the host->device byte rate the e2e path sustains, MB/s — states how
+much of the number is this rig's tunnel link rather than the
+framework; production PCIe hosts move GB/s and feed at device rate).
 
 `vs_baseline` divides by an estimated PyTorch-GPU end-to-end throughput for
 the same model at 512 px. The reference repo publishes no numbers
@@ -215,6 +218,14 @@ def main():
     dt_host = _timed_window(infer_iter_host, iters, repeats=2)
     e2e_host_ips = batch * iters / dt_host / n_chips
 
+    # the achieved host->device byte rate of the e2e path, as a plain
+    # fact: e2e_host_ips is transfer-bound on this tunnel-attached dev
+    # rig, and this states the link rate the pipeline actually sustains
+    # (serial upload probes mismeasure a pipelined high-latency link by
+    # 10-50x — each blocking sync costs seconds of round-trip latency).
+    bytes_img = 2 * 3 * img_size * img_size  # u8 RGB + IR replica
+    e2e_feed_mbps = e2e_host_ips * n_chips * bytes_img / 1e6
+
     # analytical FLOPs of the full inference program (fwd+decode+NMS).
     # XLA's cost analysis cannot see inside Pallas custom calls — lowering
     # the pure-XLA composition (no_kernels) counts the real model FLOPs;
@@ -275,6 +286,7 @@ def main():
         "vs_baseline": round(ips / ESTIMATED_REFERENCE_GPU_IPS, 3),
         "inference_ips": round(ips, 2),
         "e2e_host_ips": round(e2e_host_ips, 2),
+        "e2e_feed_mbps": round(e2e_feed_mbps, 1),
     }
     if int8_ips is not None:
         out["int8_ips"] = round(int8_ips, 2)
