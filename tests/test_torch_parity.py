@@ -600,3 +600,31 @@ def test_pf_full_model_and_tta_parity(ref):
     a = np.sort(np.asarray(y).reshape(-1, no), axis=0)
     b = np.sort(tta_ref.numpy().reshape(-1, no), axis=0)
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-2)
+
+
+def test_export_import_roundtrip_exact():
+    """tools/export_torch.py inverse check without torch: our randomly
+    initialized flagship variables -> reference state_dict names ->
+    import_flagship_model must reproduce every array exactly."""
+    import sys as _sys
+    from pathlib import Path as _P
+    _sys.path.insert(0, str(_P(__file__).resolve().parent.parent / "tools"))
+    import jax
+    import numpy as np
+    from export_torch import export_flagship_state_dict
+    from sodt_tpu.models import build_model
+    from sodt_tpu.utils.torch_import import import_flagship_model
+
+    import jax.numpy as jnp
+    model = build_model("configs/model.yaml", ch_in=4, input_mode="RGB+IR")
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(3), x0, x0, train=False)
+    src = {"params": variables["params"],
+           "batch_stats": variables.get("batch_stats", {})}
+    sd = export_flagship_state_dict(variables, model.spec)
+    back = import_flagship_model(sd, model.spec)
+    sl, bl = jax.tree.leaves(src), jax.tree.leaves(back)
+    assert len(sl) == len(bl)
+    for s, b in zip(sl, bl):
+        np.testing.assert_array_equal(np.asarray(s, np.float32),
+                                      np.asarray(b, np.float32))
