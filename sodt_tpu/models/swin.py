@@ -286,9 +286,22 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jax.Array):
         h, w = self.input_resolution
         ws, shift = self.window_size, self.shift_size
-        if min(h, w) <= ws:  # window covers the map: global attention
-            ws, shift = min(h, w), 0
+        if min(h, w) <= ws:
+            # window covers the map: global attention over ONE padded
+            # window. ws itself stays fixed (the rel-pos table shape is
+            # (2ws-1)^2 — shrinking it would make params image-size-
+            # dependent and break loading a 512-trained checkpoint at
+            # other sizes, e.g. val.py --task study); the map pads up to
+            # ws below, the reference window_partition's pad-to-multiple
+            # semantics (backbone_vit.py:619-672).
+            shift = 0
         assert 0 <= shift < ws
+        # pad to a window multiple (reference pads with zeros AFTER norm1
+        # and crops after attention). Shifted blocks at a padded size use
+        # the mask of the PADDED map — the pad behaves as image border;
+        # the reference has no defined behavior here (its masks are
+        # precomputed for the 512 grid and it crashes off-config).
+        ph, pw = (-h) % ws, (-w) % ws
 
         # NHWC-native fast path: carrying (B, H, W, C) through the whole
         # block keeps every dot/conv/LN in one feature-minor layout (mixing
@@ -306,13 +319,18 @@ class SwinBlock(nn.Module):
                                    name="attn")
         mlp_mod = Mlp(hidden=int(self.dim * self.mlp_ratio), out=self.dim,
                       linear=self.linear_mlp, dtype=self.dtype, name="mlp")
-        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        mask = (shift_attn_mask(h + ph, w + pw, ws, shift)
+                if shift > 0 else None)
 
         # Megakernel fast paths (round 3): the whole block — LN1, qkv,
         # attention, projection, both residuals, LN2, MLP — runs in one
         # or two Pallas kernels; only the block input/output touch HBM.
         dt = self.dtype
-        on_tpu = kernels_enabled()
+        # the megakernels are sized for bf16 residents: in f32
+        # (--no-bf16) the VMEM footprint doubles and the c=384 stage-2
+        # kernel exceeds the 16 MB scoped-vmem limit at compile time
+        # (observed r5); f32 runs take the XLA path instead.
+        on_tpu = kernels_enabled() and dt == jnp.bfloat16
         # c gate: at c=384 (flagship stage 2) the megakernel Mosaic compile
         # was observed pathological on this rig (wedges the shared remote
         # compile queue); stage 2 keeps the round-2 fused-attention path
@@ -400,6 +418,8 @@ class SwinBlock(nn.Module):
         # megakernel paths above fold it profitably because there are no
         # XLA neighbors left; this fallback keeps the XLA LN.
         x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
+        if ph or pw:  # pad first so the shift roll + mask see one map
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         # NHWC path: the attention module partitions windows inside the
@@ -407,6 +427,8 @@ class SwinBlock(nn.Module):
         x = attn_mod(x, mask)
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
+        if ph or pw:
+            x = x[:, :h, :w]
 
         # residual add + norm2 fused into one HBM pass
         x, y = FusedAddLayerNorm(dtype=self.dtype, name="norm2")(shortcut, x)

@@ -192,7 +192,10 @@ def window_attention_core(qkv, bias, mask, nw: int, nh: int, scale: float,
     there a single big attention matrix is what the MXU wants anyway."""
     n = qkv.shape[1]
     if use_pallas is None:
-        use_pallas = (kernels_enabled()) and n <= 256
+        # bf16-only auto-dispatch (f32 VMEM doubling — see
+        # window_attention_core_nhwc)
+        use_pallas = (kernels_enabled() and n <= 256
+                      and qkv.dtype == jnp.bfloat16)
     if use_pallas:
         return fused_window_attention(qkv, bias, mask, nw, nh, scale)
     return reference_attention_qkv(qkv, bias, mask, nw, nh, scale)
@@ -728,8 +731,10 @@ fused_block_attention_ln.defvjp(_fbal_fwd, _fbal_bwd)
 def block_attention_nhwc(x, wqkv, bqkv, wp, bp, bias, mask, ws: int,
                          nh: int, scale: float, ln=None):
     """Dispatch: fused (LN+)qkv+attn+proj kernel on TPU for windowed
-    shapes, XLA composition (with the Pallas attention core) elsewhere."""
-    if (kernels_enabled() and ws * ws <= 256
+    shapes, XLA composition (with the Pallas attention core) elsewhere.
+    bf16-only: the kernels' VMEM residents double in f32 and the c=384
+    backward exceeds the 16 MB scoped-vmem limit (observed r5)."""
+    if (kernels_enabled() and x.dtype == jnp.bfloat16 and ws * ws <= 256
             and x.shape[1] % ws == 0 and x.shape[2] % ws == 0):
         if ln is not None:
             return fused_block_attention_ln(x, ln[0], ln[1], wqkv, bqkv,
@@ -910,7 +915,9 @@ def window_attention_core_nhwc(qkv, bias, mask, ws: int, nh: int,
     32x32 map, N=1024 tokens) route to the flash-style global kernel — the
     XLA path materializes the f32 (B, nh, N, N) scores (3.2 GB at batch 64)
     in HBM plus head-split transposes of the 300 MB qkv tensor."""
-    on_tpu = kernels_enabled()
+    # bf16-only auto-dispatch: f32 doubles the kernels' VMEM residents
+    # and the c=384 backward blows the 16 MB scoped-vmem limit (r5)
+    on_tpu = kernels_enabled() and qkv.dtype == jnp.bfloat16
     auto = use_pallas is None
     if auto:
         use_pallas = on_tpu and ws * ws <= 256

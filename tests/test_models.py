@@ -256,3 +256,27 @@ def test_swin_block_fast384_path_matches_fallback(monkeypatch):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3)
         monkeypatch.undo()
+
+
+@pytest.mark.slow
+def test_flagship_cross_size_apply():
+    """A 512-family init must APPLY at other sizes: stage-3 keeps its
+    fixed 32-window rel-pos table (pad-to-window, reference
+    window_partition semantics) and pos_embed resamples — val.py --task
+    study sweeps depend on this (the reference itself shape-errors,
+    backbone_vit.py:215-217; PARITY.md 'Off-config image sizes')."""
+    import jax
+    import jax.numpy as jnp
+    from sodt_tpu.models import build_model
+
+    m = build_model("configs/model.yaml", ch_in=4, input_mode="RGB+IR")
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, x, train=False)
+    t = v["params"]["l0"]["stage3_0"]["attn"][
+        "relative_position_bias_table"]
+    assert t.shape == (63 * 63, 12)  # (2*32-1)^2, image-size-independent
+    for s in (96, 160):  # 96: pad-free stages + padded stage3;
+        # 160: shifted stage-2 at a non-multiple map (20 % 8 != 0)
+        xi = jnp.ones((1, s, s, 3), jnp.float32) * 0.5
+        out = m.apply(v, xi, xi, train=False)
+        assert bool(jnp.isfinite(out["raw"][0]).all())
