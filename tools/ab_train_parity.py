@@ -215,7 +215,13 @@ def parse_our_results(path: Path) -> list[dict]:
 
 def cross_eval(workdir: Path, img: int) -> dict:
     """Import the reference's trained best.pt and score it with OUR val
-    protocol on the same val list — eval parity at real weights."""
+    protocol on the same val list — eval parity at real weights.
+    (The ours->reference direction — OUR weights through the REFERENCE
+    evaluator — lives in tools/export_torch.py + tools/ref_eval.py.)"""
+    # unpickling the reference's whole-module .pt imports reference code,
+    # which needs the torchvision/timm/numba stand-ins
+    sys.path.insert(0, str(REPO / "tools" / "ref_shims"))
+    os.environ.setdefault("TORCH_FORCE_NO_WEIGHTS_ONLY_LOAD", "1")
     from parity_check import run as parity_run
     best = workdir / "ref_runs" / "exp" / "weights" / "best.pt"
     if not best.exists():
