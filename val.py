@@ -96,6 +96,11 @@ def main(argv=None):
     p.add_argument("--weights", default="")
     p.add_argument("--task", default="val",
                    choices=["val", "test", "train", "speed", "study"])
+    p.add_argument("--study-sizes", default="",
+                   help="comma list of sizes for --task study (default: "
+                        "the reference's 256..1536 step 128 sweep, "
+                        "test.py:398 — each size is a fresh compile; "
+                        "bound the list on remote-compile rigs)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--img-size", type=int, default=512)
     p.add_argument("--conf-thres", type=float, default=0.001)
@@ -169,7 +174,9 @@ def main(argv=None):
                               "batch_size": a.batch_size}))
         elif a.task == "study":
             rows = []
-            for s in range(256, 1537, 128):
+            sizes = ([int(s) for s in a.study_sizes.split(",")]
+                     if a.study_sizes else range(256, 1537, 128))
+            for s in sizes:
                 try:
                     m = run_map(a, s)
                     rows.append({"img_size": s, "map50": m["map50"],
