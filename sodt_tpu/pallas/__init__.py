@@ -19,8 +19,14 @@ _int8 = False
 
 def kernels_enabled() -> bool:
     """True when Pallas fast paths should dispatch (TPU backend, not
-    explicitly disabled)."""
-    return (not _disabled) and jax.default_backend() not in ("cpu",)
+    explicitly disabled; SODT_NO_KERNELS=1 disables from the
+    environment — e.g. to keep odd-shape sweeps off the Mosaic remote
+    compiler)."""
+    import os
+
+    if _disabled or os.environ.get("SODT_NO_KERNELS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
 
 
 @contextlib.contextmanager
